@@ -1,0 +1,190 @@
+"""Differentiable rotated-box IoU in pure jnp (TPU-friendly, static shapes).
+
+Replaces two native components of the reference with one vectorized
+implementation:
+
+- the Rotated_IoU CUDA `sort_vertices` op + `box_intersection_2d.py` /
+  `oriented_iou_loss.py` (differentiable training loss path,
+  `/root/reference/mmdet3d/ops/rotated_iou/`), and
+- `iou3d_cuda.boxes_overlap_bev_gpu` used for evaluation overlaps
+  (`/root/reference/mmdet3d/ops/iou3d/`).
+
+Algorithm (all fixed shapes): the intersection of two convex quadrilaterals
+has <= 8 vertices drawn from 24 candidates — 16 edge-pair intersections plus
+each box's 4 corners contained in the other box. We build all 24 candidates
+with validity masks, sort valid ones by angle around their centroid (an
+argsort replaces the CUDA vertex sort), and apply the shoelace formula with
+masked terms. Everything is `where`-guarded so gradients stay finite.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import bev_corners
+
+_EPS = 1e-8
+
+
+def _cross2(o, a, b):
+    """2D cross product (a - o) x (b - o) for [..., 2] arrays."""
+    return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+        a[..., 1] - o[..., 1]
+    ) * (b[..., 0] - o[..., 0])
+
+
+def _segment_intersections(c1, c2):
+    """All pairwise edge intersections of two quads.
+
+    Args:
+        c1, c2: [..., 4, 2] corner arrays (any consistent winding).
+
+    Returns:
+        pts: [..., 16, 2] intersection points (garbage where invalid).
+        valid: [..., 16] bool.
+    """
+    # edges: (corner_i, corner_{i+1})
+    p1 = c1  # [..., 4, 2]
+    q1 = jnp.roll(c1, -1, axis=-2)
+    p2 = c2
+    q2 = jnp.roll(c2, -1, axis=-2)
+
+    # broadcast to [..., 4, 4, 2]: first index edge of box1, second of box2
+    a = p1[..., :, None, :]
+    b = q1[..., :, None, :]
+    c = p2[..., None, :, :]
+    d = q2[..., None, :, :]
+
+    r = b - a
+    s = d - c
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]  # [..., 4, 4]
+    ok = jnp.abs(denom) > _EPS
+    safe_denom = jnp.where(ok, denom, 1.0)
+    qp = c - a
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe_denom
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe_denom
+    valid = ok & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    pts = a + t[..., None] * r
+    pts = jnp.where(valid[..., None], pts, 0.0)
+    shape = pts.shape[:-3] + (16, 2)
+    return pts.reshape(shape), valid.reshape(shape[:-1])
+
+
+def _corners_in_quad(pts, quad):
+    """pts [..., 4, 2] inside convex quad [..., 4, 2] (CCW or CW) -> bool [..., 4]."""
+    o = quad[..., None, :, :]  # [..., 1, 4, 2]
+    nxt = jnp.roll(quad, -1, axis=-2)[..., None, :, :]
+    p = pts[..., :, None, :]  # [..., 4, 1, 2]
+    cr = _cross2(o, nxt, p)  # [..., 4(pts), 4(edges)]
+    return jnp.all(cr >= -_EPS, axis=-1) | jnp.all(cr <= _EPS, axis=-1)
+
+
+def quad_intersection_area(c1, c2):
+    """Intersection area of two convex quads [..., 4, 2] -> [...]. Differentiable."""
+    inter_pts, inter_valid = _segment_intersections(c1, c2)
+    in12 = _corners_in_quad(c1, c2)  # corners of 1 in 2
+    in21 = _corners_in_quad(c2, c1)
+
+    pts = jnp.concatenate([inter_pts, c1, c2], axis=-2)  # [..., 24, 2]
+    valid = jnp.concatenate([inter_valid, in12, in21], axis=-1)  # [..., 24]
+
+    num = jnp.sum(valid, axis=-1)  # [...]
+    vf = valid[..., None].astype(pts.dtype)
+    denom = jnp.maximum(num[..., None], 1).astype(pts.dtype)
+    center = jnp.sum(pts * vf, axis=-2) / denom  # [..., 2]
+
+    rel = pts - center[..., None, :]
+    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
+    ang = jnp.where(valid, ang, 1e9)  # invalid sorted last
+    order = jnp.argsort(ang, axis=-1)
+    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)  # [..., 24, 2]
+
+    # shoelace over the first `num` sorted vertices (wrap to 0)
+    idx = jnp.arange(24)
+    nxt = jnp.where(idx + 1 >= num[..., None], 0, idx + 1)  # [..., 24]
+    nxt_pts = jnp.take_along_axis(sorted_pts, nxt[..., None], axis=-2)
+    cross = (
+        sorted_pts[..., 0] * nxt_pts[..., 1] - sorted_pts[..., 1] * nxt_pts[..., 0]
+    )
+    term_valid = idx < num[..., None]
+    area = 0.5 * jnp.abs(jnp.sum(jnp.where(term_valid, cross, 0.0), axis=-1))
+    return jnp.where(num >= 3, area, 0.0)
+
+
+def rotated_iou_2d(boxes1, boxes2):
+    """IoU of aligned pairs of rotated BEV boxes (x, y, dx, dy, yaw) [..., 5]."""
+    c1 = bev_corners(boxes1)
+    c2 = bev_corners(boxes2)
+    inter = quad_intersection_area(c1, c2)
+    a1 = boxes1[..., 2] * boxes1[..., 3]
+    a2 = boxes2[..., 2] * boxes2[..., 3]
+    union = a1 + a2 - inter
+    return inter / jnp.maximum(union, _EPS)
+
+
+def _z_overlap(b1, b2):
+    """Vertical overlap of gravity-centered 7-DoF boxes [..., 7]."""
+    zmax1 = b1[..., 2] + b1[..., 5] * 0.5
+    zmin1 = b1[..., 2] - b1[..., 5] * 0.5
+    zmax2 = b2[..., 2] + b2[..., 5] * 0.5
+    zmin2 = b2[..., 2] - b2[..., 5] * 0.5
+    return jnp.clip(jnp.minimum(zmax1, zmax2) - jnp.maximum(zmin1, zmin2), 0.0)
+
+
+def iou_3d(boxes1, boxes2):
+    """3D IoU of aligned pairs of *gravity-centered* boxes (x,y,z,dx,dy,dz,yaw).
+
+    Matches `cal_iou_3d` (`oriented_iou_loss.py:86-109`): BEV polygon
+    intersection times z-overlap, over the 3D union. Differentiable.
+    """
+    bev1 = boxes1[..., jnp.array([0, 1, 3, 4, 6])]
+    bev2 = boxes2[..., jnp.array([0, 1, 3, 4, 6])]
+    inter_2d = quad_intersection_area(bev_corners(bev1), bev_corners(bev2))
+    inter_3d = inter_2d * _z_overlap(boxes1, boxes2)
+    v1 = boxes1[..., 3] * boxes1[..., 4] * boxes1[..., 5]
+    v2 = boxes2[..., 3] * boxes2[..., 4] * boxes2[..., 5]
+    union = v1 + v2 - inter_3d
+    return inter_3d / jnp.maximum(union, _EPS)
+
+
+def pairwise_iou_3d(boxes1, boxes2):
+    """Full [N, M] 3D IoU matrix of gravity-centered 7-DoF boxes.
+
+    Replaces `BaseInstance3DBoxes.overlaps` (`base_box3d.py:386-441`) for
+    evaluation. Note the caller converts bottom-centered box7 to gravity-
+    centered first (see `fcaf3d_tpu.core.eval`).
+    """
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    b1 = jnp.broadcast_to(boxes1[:, None, :], (n, m, 7))
+    b2 = jnp.broadcast_to(boxes2[None, :, :], (n, m, 7))
+    return iou_3d(b1, b2)
+
+
+def pairwise_iou_bev(boxes1, boxes2):
+    """[N, M] rotated BEV IoU of (x, y, dx, dy, yaw) boxes (NMS criterion).
+
+    Matches pcdet's `boxes_iou_bev` used by `pcdet_nms_gpu`
+    (`/root/reference/mmdet3d/ops/pcdet_nms/`).
+    """
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    b1 = jnp.broadcast_to(boxes1[:, None, :], (n, m, 5))
+    b2 = jnp.broadcast_to(boxes2[None, :, :], (n, m, 5))
+    return rotated_iou_2d(b1, b2)
+
+
+def axis_aligned_iou(pred, target):
+    """IoU of aligned pairs of axis-aligned gravity-centered boxes [..., 6].
+
+    Layout (cx, cy, cz, dx, dy, dz). Matches `axis_aligned_iou_loss`'s
+    corner-form IoU (`models/losses/iou3d_loss.py:22-35`).
+    """
+    lo1 = pred[..., :3] - pred[..., 3:6] * 0.5
+    hi1 = pred[..., :3] + pred[..., 3:6] * 0.5
+    lo2 = target[..., :3] - target[..., 3:6] * 0.5
+    hi2 = target[..., :3] + target[..., 3:6] * 0.5
+    inter = jnp.clip(jnp.minimum(hi1, hi2) - jnp.maximum(lo1, lo2), 0.0)
+    inter_vol = jnp.prod(inter, axis=-1)
+    v1 = jnp.prod(hi1 - lo1, axis=-1)
+    v2 = jnp.prod(hi2 - lo2, axis=-1)
+    union = v1 + v2 - inter_vol
+    return inter_vol / jnp.maximum(union, _EPS)

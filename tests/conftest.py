@@ -1,0 +1,14 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+TPU hardware isn't assumed for CI; sharding/collective tests use
+`xla_force_host_platform_device_count=8` per the project's multi-chip
+validation strategy.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
