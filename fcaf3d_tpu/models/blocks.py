@@ -1,0 +1,195 @@
+"""Flax linen building blocks over the sparse engine.
+
+Mirrors the MinkowskiEngine modules the reference composes
+(`MinkowskiConvolution`, `MinkowskiBatchNorm`, `MinkowskiInstanceNorm`,
+`ME.modules.resnet_block.BasicBlock`) as linen modules operating on
+`SparseTensor`. BatchNorm statistics are computed over *valid* voxel rows
+across the whole (global) batch — under pjit data parallelism XLA reduces
+them across devices automatically, which subsumes the reference's
+`NaiveSyncBatchNorm` (`/root/reference/mmdet3d/ops/norm.py`).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sparse.conv import (
+    generative_transpose_conv2x2,
+    sparse_conv,
+    sparse_max_pool,
+)
+from ..ops.sparse.tensor import SparseTensor
+
+
+def _kaiming_kernel_init(key, shape, dtype=jnp.float32):
+    """He-normal (fan_out, relu) over a [K, Cin, Cout] sparse kernel —
+    the reference's `ME.utils.kaiming_normal_` init (`me_resnet.py:46`)."""
+    k, _, cout = shape
+    std = (2.0 / (k * cout)) ** 0.5
+    import jax
+
+    return jax.random.normal(key, shape, dtype) * std
+
+
+class SparseConv(nn.Module):
+    """MinkowskiConvolution equivalent."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = False
+    out_budget: Optional[int] = None
+    kernel_init: Callable = _kaiming_kernel_init
+    bias_init: Callable = nn.initializers.zeros
+    n_chunks: int = 3
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        k = self.kernel_size ** 3
+        w = self.param(
+            "kernel",
+            self.kernel_init,
+            (k, st.num_channels, self.out_channels),
+        )
+        b = (
+            self.param("bias", self.bias_init, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        return sparse_conv(
+            st,
+            w,
+            self.kernel_size,
+            stride=self.stride,
+            bias=b,
+            out_budget=self.out_budget,
+            n_chunks=self.n_chunks,
+        )
+
+
+class SparseGenerativeTranspose(nn.Module):
+    """MinkowskiGenerativeConvolutionTranspose(kernel=2, stride=2)."""
+
+    out_channels: int
+    kernel_init: Callable = _kaiming_kernel_init
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        w = self.param(
+            "kernel", self.kernel_init, (8, st.num_channels, self.out_channels)
+        )
+        return generative_transpose_conv2x2(st, w)
+
+
+class SparseBatchNorm(nn.Module):
+    """Masked BatchNorm over valid voxel rows (MinkowskiBatchNorm).
+
+    Uses torch-style momentum 0.1 (running = 0.9*old + 0.1*batch) and
+    eps 1e-5 to stay checkpoint-compatible with the reference.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+        c = st.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if train:
+            mask = st.valid[..., None].astype(st.feats.dtype)
+            count = jnp.maximum(jnp.sum(mask), 1.0)
+            mean = jnp.sum(st.feats * mask, axis=(0, 1)) / count
+            var = jnp.sum(((st.feats - mean) ** 2) * mask, axis=(0, 1)) / count
+            if not self.is_initializing():
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = scale / jnp.sqrt(var + self.eps)
+        out = (st.feats - mean) * inv + bias
+        out = jnp.where(st.valid[..., None], out, 0.0)
+        return st.with_feats(out)
+
+
+class SparseInstanceNorm(nn.Module):
+    """Per-sample masked InstanceNorm (MinkowskiInstanceNorm, stem of the
+    backbone, `me_resnet.py:22`)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, st: SparseTensor) -> SparseTensor:
+        c = st.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mask = st.valid[..., None].astype(st.feats.dtype)
+        count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1,1]
+        mean = jnp.sum(st.feats * mask, axis=1, keepdims=True) / count
+        var = jnp.sum(((st.feats - mean) ** 2) * mask, axis=1, keepdims=True) / count
+        out = (st.feats - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        out = jnp.where(st.valid[..., None], out, 0.0)
+        return st.with_feats(out)
+
+
+def sparse_relu(st: SparseTensor) -> SparseTensor:
+    return st.with_feats(jnp.maximum(st.feats, 0.0))
+
+
+def sparse_elu(st: SparseTensor) -> SparseTensor:
+    out = jnp.where(st.feats > 0, st.feats, jnp.expm1(st.feats))
+    out = jnp.where(st.valid[..., None], out, 0.0)
+    return st.with_feats(out)
+
+
+def sparse_pool2x2(st: SparseTensor, out_budget: Optional[int] = None) -> SparseTensor:
+    return sparse_max_pool(st, kernel_size=2, stride=2, out_budget=out_budget)
+
+
+class SparseBasicBlock(nn.Module):
+    """ME `resnet_block.BasicBlock`: conv3(stride)-BN-ReLU-conv3-BN (+skip).
+
+    When `stride != 1` or channels change, the skip is conv1(stride)+BN —
+    the `downsample` branch of `me_resnet.py:52-64`.
+    """
+
+    planes: int
+    stride: int = 1
+    out_budget: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+        residual = st
+        out = SparseConv(
+            self.planes, 3, stride=self.stride, out_budget=self.out_budget, name="conv1"
+        )(st)
+        out = SparseBatchNorm(name="norm1")(out, train)
+        out = sparse_relu(out)
+        out = SparseConv(self.planes, 3, name="conv2")(out)
+        out = SparseBatchNorm(name="norm2")(out, train)
+
+        if self.stride != 1 or st.num_channels != self.planes:
+            residual = SparseConv(
+                self.planes,
+                1,
+                stride=self.stride,
+                out_budget=self.out_budget,
+                name="downsample_conv",
+            )(st)
+            residual = SparseBatchNorm(name="downsample_norm")(residual, train)
+
+        # strided main/skip paths produce the identical (sorted) coord map
+        out = out.with_feats(out.feats + residual.feats)
+        return sparse_relu(out)

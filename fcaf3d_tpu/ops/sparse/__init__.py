@@ -1,0 +1,20 @@
+from .tensor import (  # noqa: F401
+    EXTENT,
+    SENTINEL,
+    SparseTensor,
+    downsample_coords,
+    encode_coords,
+    lookup,
+    voxelize,
+)
+from .conv import (  # noqa: F401
+    build_kernel_map,
+    gather_gemm,
+    generative_transpose_conv2x2,
+    interpolate_at,
+    kernel_offsets,
+    sparse_add_into,
+    sparse_conv,
+    sparse_max_pool,
+    sparse_prune,
+)

@@ -1,0 +1,334 @@
+"""Sparse convolution ops: gather-GEMM-scatter on sorted coordinate maps.
+
+TPU-native replacement for MinkowskiEngine's convolution stack
+(`MinkowskiConvolution`, `MinkowskiGenerativeConvolutionTranspose`,
+`MinkowskiMaxPooling`, `MinkowskiPruning`, sparse add,
+`features_at_coordinates`) as used by the reference backbone/neck
+(`/root/reference/mmdet3d/models/backbones/me_resnet.py`,
+`dense_heads/fcaf3d_neck_with_head.py:57-126`).
+
+Instead of MinkowskiEngine's hash-map "kernel maps" + per-offset CUDA
+gather/GEMM/scatter, each convolution here:
+
+1. derives the output coordinate map (same map for stride 1; sorted
+   `unique(floor(c/new_stride)*new_stride)` for strided ops),
+2. binary-searches each `out_coord + offset` in the sorted input keys to
+   build a dense [B, M, K] neighbor-index table (misses -> dump row), and
+3. runs a single gather + one batched matmul contracting over
+   (offset, channel) — a [B*M, K*Cin] x [K*Cin, Cout] GEMM that maps
+   straight onto the MXU.
+
+The conv is wrapped in a custom VJP so the [B, M, K, Cin] gathered
+activations are *recomputed* in the backward pass instead of being saved —
+the residuals are just feats + the int32 index table.
+
+Kernel offset ordering: `itertools.product` over (x, y, z) with x slowest —
+odd kernels span {-S..S}, even kernels {0..(k-1)S} (ME's region convention;
+checkpoint converters permute into this order).
+"""
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tensor import (
+    EXTENT,
+    SENTINEL,
+    SparseTensor,
+    compact_unique,
+    downsample_coords,
+    encode_coords,
+    lookup,
+    sort_rows,
+)
+
+
+def kernel_offsets(kernel_size: int, stride_units: int) -> np.ndarray:
+    """[K, 3] int32 offsets in raw lattice units for a cubic kernel."""
+    if kernel_size % 2 == 1:
+        r = range(-(kernel_size // 2), kernel_size // 2 + 1)
+    else:
+        r = range(0, kernel_size)
+    offs = np.array(list(itertools.product(r, r, r)), dtype=np.int32)
+    return offs * stride_units
+
+
+def build_kernel_map(
+    in_keys: jnp.ndarray, out_coords: jnp.ndarray, offsets: np.ndarray
+) -> jnp.ndarray:
+    """Neighbor index table [B, M, K]; value N (=in capacity) means miss."""
+    queries = out_coords[:, :, None, :] + jnp.asarray(offsets)[None, None, :, :]
+    qkeys = encode_coords(queries)
+    # out-of-budget output rows carry EXTENT coords -> OOB queries -> SENTINEL
+    return lookup(in_keys, qkeys)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gather_gemm(feats, idx, weight, n_chunks: int = 3):
+    """out[b,m] = sum_k feats[b, idx[b,m,k]] @ weight[k]  (miss rows -> 0).
+
+    Args:
+        feats: [B, N, Cin].
+        idx: [B, M, K] int32 in [0, N] (N = miss).
+        weight: [K, Cin, Cout].
+        n_chunks: split the K offsets into chunks to bound the transient
+            gathered activation ([B, M, K/n_chunks, Cin]) in HBM.
+    """
+    return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks)
+
+
+def _gather_rows(feats, idx):
+    """feats [B, N, C], idx [B, M, Kc] -> [B, M, Kc, C] with miss -> 0."""
+    b, n, c = feats.shape
+    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+    flat = idx.reshape(b, -1)
+    g = jnp.take_along_axis(fpad, flat[..., None], axis=1)
+    return g.reshape(idx.shape + (c,))
+
+
+def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks):
+    k = weight.shape[0]
+    m = idx.shape[1]
+    b = feats.shape[0]
+    cout = weight.shape[-1]
+    bounds = np.linspace(0, k, n_chunks + 1).astype(int)
+    out = jnp.zeros((b, m, cout), dtype=feats.dtype)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo == hi:
+            continue
+        g = _gather_rows(feats, idx[:, :, lo:hi])  # [B, M, Kc, Cin]
+        out = out + jnp.einsum(
+            "bmkc,kcd->bmd", g, weight[lo:hi], preferred_element_type=out.dtype
+        )
+    return out
+
+
+def _gather_gemm_fwd(feats, idx, weight, n_chunks):
+    return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks), (feats, idx, weight)
+
+
+def _gather_gemm_bwd(n_chunks, res, dout):
+    feats, idx, weight = res
+    b, n, cin = feats.shape
+    k = weight.shape[0]
+    bounds = np.linspace(0, k, n_chunks + 1).astype(int)
+    dw = jnp.zeros_like(weight)
+    dfeats_pad = jnp.zeros((b, n + 1, cin), dtype=feats.dtype)
+    batch_ix = jnp.arange(b)[:, None]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if lo == hi:
+            continue
+        g = _gather_rows(feats, idx[:, :, lo:hi])  # recompute
+        dw = dw.at[lo:hi].add(
+            jnp.einsum("bmkc,bmd->kcd", g, dout, preferred_element_type=dw.dtype)
+        )
+        contrib = jnp.einsum(
+            "bmd,kcd->bmkc", dout, weight[lo:hi], preferred_element_type=feats.dtype
+        )
+        flat_idx = idx[:, :, lo:hi].reshape(b, -1)
+        dfeats_pad = dfeats_pad.at[batch_ix, flat_idx].add(
+            contrib.reshape(b, -1, cin)
+        )
+    return dfeats_pad[:, :n], None, dw
+
+
+gather_gemm.defvjp(_gather_gemm_fwd, _gather_gemm_bwd)
+
+
+def sparse_conv(
+    st: SparseTensor,
+    weight: jnp.ndarray,
+    kernel_size: int,
+    stride: int = 1,
+    bias: Optional[jnp.ndarray] = None,
+    out_budget: Optional[int] = None,
+    n_chunks: int = 3,
+) -> SparseTensor:
+    """Sparse convolution (ME `MinkowskiConvolution` semantics).
+
+    stride 1 keeps the input coordinate map; stride > 1 emits the strided
+    coordinate map (`unique(floor(c / new_stride) * new_stride)`).
+
+    Args:
+        weight: [K, Cin, Cout] with K = kernel_size**3.
+        out_budget: row capacity of the strided output map (required when
+            stride > 1); defaults to the input capacity.
+    """
+    offs = kernel_offsets(kernel_size, st.stride)
+    if stride == 1:
+        out_coords, out_keys = st.coords, st.keys
+        new_stride = st.stride
+    else:
+        budget = out_budget if out_budget is not None else st.capacity
+        out_coords, out_keys = downsample_coords(st, stride, budget)
+        new_stride = st.stride * stride
+    if kernel_size == 1 and stride == 1:
+        out = jnp.einsum(
+            "bnc,cd->bnd", st.feats, weight[0], preferred_element_type=st.feats.dtype
+        )
+    else:
+        idx = build_kernel_map(st.keys, out_coords, offs)
+        out = gather_gemm(st.feats, idx, weight, n_chunks)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
+    return SparseTensor(
+        coords=out_coords, feats=out, keys=out_keys, shift=st.shift, stride=new_stride
+    )
+
+
+def sparse_max_pool(
+    st: SparseTensor, kernel_size: int, stride: int, out_budget: Optional[int] = None
+) -> SparseTensor:
+    """Max pooling (ME `MinkowskiMaxPooling` semantics; max over present
+    neighbors only)."""
+    budget = out_budget if out_budget is not None else st.capacity
+    out_coords, out_keys = downsample_coords(st, stride, budget)
+    offs = kernel_offsets(kernel_size, st.stride)
+    idx = build_kernel_map(st.keys, out_coords, offs)  # [B, M, K]
+    b, n, c = st.feats.shape
+    neg = jnp.asarray(jnp.finfo(st.feats.dtype).min, st.feats.dtype)
+    fpad = jnp.concatenate([st.feats, jnp.full((b, 1, c), neg, st.feats.dtype)], axis=1)
+    g = jnp.take_along_axis(fpad, idx.reshape(b, -1)[..., None], axis=1)
+    g = g.reshape(idx.shape + (c,))
+    out = jnp.max(g, axis=2)
+    out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
+    return SparseTensor(
+        coords=out_coords,
+        feats=out,
+        keys=out_keys,
+        shift=st.shift,
+        stride=st.stride * stride,
+    )
+
+
+def generative_transpose_conv2x2(
+    st: SparseTensor, weight: jnp.ndarray
+) -> SparseTensor:
+    """Generative transposed conv, kernel 2 stride 2 (the GSDN upsampling,
+    ME `MinkowskiGenerativeConvolutionTranspose`, used at
+    `fcaf3d_neck_with_head.py:60-66`).
+
+    Every parent voxel at stride 2S emits all 8 children `parent + {0, S}^3`
+    on the stride-S lattice; child features are `parent @ W[k]`. Children of
+    distinct parents never collide (the parent is the child's floor-rounding)
+    so the output map is exactly 8N rows, sorted, no dedup needed.
+
+    Args:
+        weight: [8, Cin, Cout] in `kernel_offsets(2, S)` order.
+    """
+    assert weight.shape[0] == 8
+    child_stride = st.stride // 2
+    offs = kernel_offsets(2, child_stride)  # {0, S}^3
+    child_coords = st.coords[:, :, None, :] + jnp.asarray(offs)[None, None, :, :]
+    child_feats = jnp.einsum(
+        "bnc,kcd->bnkd", st.feats, weight, preferred_element_type=st.feats.dtype
+    )
+    b, n = st.coords.shape[:2]
+    child_coords = child_coords.reshape(b, n * 8, 3)
+    child_feats = child_feats.reshape(b, n * 8, -1)
+    keys = encode_coords(child_coords)
+    parent_valid = jnp.repeat(st.valid, 8, axis=1)
+    keys = jnp.where(parent_valid, keys, SENTINEL)
+    child_coords = jnp.where(
+        parent_valid[..., None], child_coords, jnp.asarray(EXTENT, jnp.int32)
+    )
+    child_feats = jnp.where(parent_valid[..., None], child_feats, 0.0)
+    child_coords, child_feats, keys = sort_rows(child_coords, child_feats, keys)
+    return SparseTensor(
+        coords=child_coords,
+        feats=child_feats,
+        keys=keys,
+        shift=st.shift,
+        stride=child_stride,
+    )
+
+
+def sparse_add_into(a: SparseTensor, b: SparseTensor) -> SparseTensor:
+    """a + b where b's coordinates are a subset of a's (ME sparse addition on
+    a shared coordinate manager, `fcaf3d_neck_with_head.py:101`).
+
+    In the FCAF3D neck the generated child map is always a superset of the
+    lateral map (laterals live on the stride-S lattice whose parents are all
+    occupied), so the union equals a's map.
+    """
+    assert a.stride == b.stride
+    idx = lookup(a.keys, b.keys)  # [B, Nb] in [0, Na]
+    bsz, na, c = a.feats.shape
+    pad = jnp.zeros((bsz, na + 1, c), a.feats.dtype)
+    scattered = pad.at[jnp.arange(bsz)[:, None], idx].add(b.feats)[:, :na]
+    return a.with_feats(a.feats + scattered)
+
+
+def sparse_prune(st: SparseTensor, scores: jnp.ndarray, budget: int) -> SparseTensor:
+    """Keep the top-`budget` valid rows by score; compact preserving key order.
+
+    Replaces `MinkowskiPruning` + the top-`pts_threshold` selection of
+    `Fcaf3DNeckWithHead._prune` (`fcaf3d_neck_with_head.py:110-126`). With
+    `budget >= num_valid` this only compacts (keeps everything), matching the
+    reference's behavior when voxel counts are under `pts_threshold`.
+    """
+    b, n = st.keys.shape
+    s = jnp.where(st.valid, scores.reshape(b, n), -jnp.inf)
+    k = min(budget, n)
+    _, top_idx = jax.lax.top_k(s, k)  # [B, k]
+    keep = jnp.zeros((b, n), bool).at[jnp.arange(b)[:, None], top_idx].set(True)
+    keep = keep & st.valid
+
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep, pos, budget)
+    batch_ix = jnp.arange(b)[:, None]
+    out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
+    out_coords = out_coords.at[batch_ix, pos].set(st.coords)
+    out_keys = jnp.full((b, budget + 1), SENTINEL, st.keys.dtype)
+    out_keys = out_keys.at[batch_ix, pos].set(jnp.where(keep, st.keys, SENTINEL))
+    c = st.feats.shape[-1]
+    out_feats = jnp.zeros((b, budget + 1, c), st.feats.dtype)
+    out_feats = out_feats.at[batch_ix, pos].set(
+        jnp.where(keep[..., None], st.feats, 0.0)
+    )
+    return SparseTensor(
+        coords=out_coords[:, :budget],
+        feats=out_feats[:, :budget],
+        keys=out_keys[:, :budget],
+        shift=st.shift,
+        stride=st.stride,
+    )
+
+
+def interpolate_at(st: SparseTensor, positions: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of sparse features at raw-lattice positions.
+
+    Equivalent of ME `features_at_coordinates` (used for score interpolation
+    in `_prune`, `fcaf3d_neck_with_head.py:116`): positions are in raw
+    (stride-1) lattice units; features live on the stride-`st.stride`
+    lattice; absent neighbors contribute zero (no weight renormalization).
+
+    Args:
+        positions: [B, Q, 3] float.
+
+    Returns:
+        [B, Q, C].
+    """
+    s = float(st.stride)
+    pos = positions / s
+    base = jnp.floor(pos)
+    frac = pos - base
+    base = base.astype(jnp.int32) * st.stride
+    corners = np.array(list(itertools.product((0, 1), (0, 1), (0, 1))), np.int32)
+    out = None
+    for corner in corners:
+        cc = base + jnp.asarray(corner * st.stride)
+        w = jnp.prod(
+            jnp.where(jnp.asarray(corner, bool), frac, 1.0 - frac), axis=-1
+        )  # [B, Q]
+        idx = lookup(st.keys, encode_coords(cc))  # [B, Q]
+        f = _gather_rows(st.feats, idx[..., None])[:, :, 0, :]  # [B, Q, C]
+        term = f * w[..., None]
+        out = term if out is None else out + term
+    return out

@@ -1,0 +1,221 @@
+"""Batched static-shape sparse voxel tensor for TPU.
+
+This is the TPU-native replacement for MinkowskiEngine's `SparseTensor` +
+coordinate manager (reference usage: `/root/reference/mmdet3d/models/
+detectors/single_stage_sparse.py:34-37`, `backbones/me_resnet.py`,
+`dense_heads/fcaf3d_neck_with_head.py`). Design differences, driven by
+XLA's static-shape compilation model:
+
+- Every coordinate map has a *fixed row budget* `N`; real voxels occupy a
+  prefix-dense subset marked valid, padding rows carry a sentinel key.
+- Coordinates are per-sample (batch is a leading dim, not a batch column)
+  and are kept *sorted by a packed uint32 key*, so neighbor lookup is a
+  vectorized binary search (`jnp.searchsorted`) instead of a hash map.
+- Quantized coords are shifted non-negative per sample and bounded to a
+  (2047, 2048, 1024) grid — 20.5m x 20.5m x 10.2m at 1cm voxels, ample for
+  the indoor datasets; the shift is carried so metric positions can be
+  recovered exactly.
+
+Coordinate/key invariants:
+- `coords[b, i]` are multiples of `stride` (raw lattice units).
+- `keys[b]` is ascending; padding rows have `keys == SENTINEL` and coords
+  equal to the (out-of-range) extent so any derived query also misses.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+# bit budget: x:11, y:11, z:10 -> exactly 32 bits
+X_BITS, Y_BITS, Z_BITS = 11, 11, 10
+# x is capped one short so the all-ones SENTINEL can never be a valid key
+EXTENT = (2 ** X_BITS - 1, 2 ** Y_BITS, 2 ** Z_BITS)  # (2047, 2048, 1024)
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+@struct.dataclass
+class SparseTensor:
+    """Batched sparse voxel tensor (see module docstring for invariants)."""
+
+    coords: jnp.ndarray  # [B, N, 3] int32
+    feats: jnp.ndarray  # [B, N, C]
+    keys: jnp.ndarray  # [B, N] uint32, ascending per sample
+    shift: jnp.ndarray  # [B, 3] int32; original_voxel = coords - shift
+    stride: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def batch_size(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def num_channels(self) -> int:
+        return self.feats.shape[-1]
+
+    @property
+    def valid(self) -> jnp.ndarray:  # [B, N] bool
+        return self.keys != SENTINEL
+
+    def num_valid(self) -> jnp.ndarray:  # [B]
+        return jnp.sum(self.valid, axis=-1)
+
+    def positions(self, voxel_size: float) -> jnp.ndarray:
+        """Metric positions [B, N, 3] of each voxel (the reference's
+        `decomposed_coordinates * voxel_size`, `fcaf3d_neck_with_head.py:275-277`)."""
+        return (self.coords - self.shift[:, None, :]).astype(jnp.float32) * voxel_size
+
+    def with_feats(self, feats: jnp.ndarray) -> "SparseTensor":
+        return self.replace(feats=feats)
+
+
+def encode_coords(coords: jnp.ndarray) -> jnp.ndarray:
+    """Pack int32 coords [..., 3] into sortable uint32 keys; OOB -> SENTINEL."""
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    in_range = (
+        (x >= 0)
+        & (x < EXTENT[0])
+        & (y >= 0)
+        & (y < EXTENT[1])
+        & (z >= 0)
+        & (z < EXTENT[2])
+    )
+    key = (
+        (x.astype(jnp.uint32) << (Y_BITS + Z_BITS))
+        | (y.astype(jnp.uint32) << Z_BITS)
+        | z.astype(jnp.uint32)
+    )
+    return jnp.where(in_range, key, SENTINEL)
+
+
+def sort_rows(coords: jnp.ndarray, feats: Optional[jnp.ndarray], keys: jnp.ndarray):
+    """Sort rows of a batched (coords, feats, keys) triplet by key (stable)."""
+    order = jnp.argsort(keys, axis=-1, stable=True)
+    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
+    keys = jnp.take_along_axis(keys, order, axis=1)
+    if feats is not None:
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+    return coords, feats, keys
+
+
+def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
+    """Deduplicate sorted (coords, keys) to the first occurrence per key and
+    compact into a `budget`-row array (overflow rows are dropped).
+
+    Args:
+        coords: [B, N, 3] sorted by keys.
+        keys: [B, N] ascending.
+        budget: output rows per sample.
+
+    Returns:
+        (coords [B, budget, 3], keys [B, budget], src_idx [B, budget]) where
+        src_idx maps each output row to its source row (budget-filled with N
+        for padding rows).
+    """
+    b, n = keys.shape
+    prev = jnp.concatenate([jnp.full((b, 1), SENTINEL, keys.dtype), keys[:, :-1]], axis=1)
+    first = (keys != prev) & (keys != SENTINEL)
+    pos = jnp.cumsum(first, axis=1) - 1  # target row (valid where first)
+    ok = first & (pos < budget)
+    pos = jnp.where(ok, pos, budget)  # dump overflow/non-first into slot `budget`
+
+    batch_idx = jnp.arange(b)[:, None]
+    out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
+    out_coords = out_coords.at[batch_idx, pos].set(coords)
+    out_keys = jnp.full((b, budget + 1), SENTINEL, keys.dtype)
+    out_keys = out_keys.at[batch_idx, pos].set(jnp.where(ok, keys, SENTINEL))
+    src = jnp.full((b, budget + 1), n, jnp.int32)
+    src = src.at[batch_idx, pos].set(
+        jnp.where(ok, jnp.arange(n, dtype=jnp.int32)[None, :], n)
+    )
+    return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget]
+
+
+def lookup(keys_sorted: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """Find rows of `queries` in per-sample sorted key arrays.
+
+    Args:
+        keys_sorted: [B, N] ascending uint32 (SENTINEL padding at the end).
+        queries: [B, ...] uint32.
+
+    Returns:
+        idx: [B, ...] int32 in [0, N]; N means miss (callers use row N as a
+        zero-feature dump row).
+    """
+    b, n = keys_sorted.shape
+    q_shape = queries.shape
+    q = queries.reshape(b, -1)
+    idx = jax.vmap(lambda k, qq: jnp.searchsorted(k, qq, side="left"))(keys_sorted, q)
+    idx = jnp.minimum(idx, n - 1)
+    hit = (jnp.take_along_axis(keys_sorted, idx, axis=1) == q) & (q != SENTINEL)
+    idx = jnp.where(hit, idx, n).astype(jnp.int32)
+    return idx.reshape(q_shape)
+
+
+def voxelize(
+    points: jnp.ndarray,
+    features: jnp.ndarray,
+    valid: jnp.ndarray,
+    voxel_size: float,
+    budget: int,
+    margin: int = 64,
+) -> SparseTensor:
+    """Quantize a padded point batch into a stride-1 SparseTensor.
+
+    TPU-native equivalent of `ME.utils.batch_sparse_collate`
+    (`single_stage_sparse.py:34-37`): floor-quantize, per-sample shift to a
+    non-negative bounded grid, deduplicate keeping the *first* point of each
+    voxel (ME's insertion-order rule), compact to `budget` rows.
+
+    Args:
+        points: [B, P, 3] float metric coordinates.
+        features: [B, P, C].
+        valid: [B, P] bool.
+        voxel_size: quantization in meters.
+        budget: voxel capacity per sample.
+        margin: headroom so negative conv offsets never wrap (also keeps all
+            strided lattices aligned across samples).
+    """
+    q = jnp.floor(points / voxel_size).astype(jnp.int32)
+    big = jnp.int32(1 << 20)
+    q_masked = jnp.where(valid[..., None], q, big)
+    qmin = jnp.min(q_masked, axis=1)  # [B, 3]
+    shift = margin - qmin
+    coords = q + shift[:, None, :]
+    coords = jnp.where(valid[..., None], coords, jnp.asarray(EXTENT, jnp.int32))
+    keys = encode_coords(coords)
+    keys = jnp.where(valid, keys, SENTINEL)
+
+    coords, features, keys = sort_rows(coords, features, keys)
+    out_coords, out_keys, src = compact_unique(coords, keys, budget)
+    bpad = jnp.concatenate(
+        [features, jnp.zeros_like(features[:, :1])], axis=1
+    )  # row P = zeros for padding rows
+    out_feats = jnp.take_along_axis(bpad, src[..., None], axis=1)
+    return SparseTensor(
+        coords=out_coords, feats=out_feats, keys=out_keys, shift=shift, stride=1
+    )
+
+
+def downsample_coords(st: SparseTensor, factor: int, budget: int):
+    """Output coordinate map of a strided (conv/pool) op.
+
+    ME semantics: output coords = unique(floor(c / new_stride) * new_stride)
+    on the coarser lattice.
+
+    Returns:
+        (coords [B, budget, 3], keys [B, budget]) sorted by key.
+    """
+    new_stride = st.stride * factor
+    c = (st.coords // new_stride) * new_stride
+    c = jnp.where(st.valid[..., None], c, jnp.asarray(EXTENT, jnp.int32))
+    keys = encode_coords(c)
+    keys = jnp.where(st.valid, keys, SENTINEL)
+    c, _, keys = sort_rows(c, None, keys)
+    out_coords, out_keys, _ = compact_unique(c, keys, budget)
+    return out_coords, out_keys

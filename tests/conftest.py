@@ -2,13 +2,18 @@
 
 TPU hardware isn't assumed for CI; sharding/collective tests use
 `xla_force_host_platform_device_count=8` per the project's multi-chip
-validation strategy.
+validation strategy. NOTE: the JAX_PLATFORMS env var alone is not honored
+when the axon TPU plugin is installed — `jax.config.update` is required.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
