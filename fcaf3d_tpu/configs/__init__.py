@@ -1,0 +1,7 @@
+from .fcaf3d import (  # noqa: F401
+    FCAF3DConfig,
+    fcaf3d_s3dis,
+    fcaf3d_scannet,
+    fcaf3d_sunrgbd,
+    fcaf3d_tiny,
+)

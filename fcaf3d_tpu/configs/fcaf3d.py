@@ -1,0 +1,79 @@
+"""Declarative FCAF3D configs (dataclasses replace the reference's
+mmcv config-file inheritance, `/root/reference/configs/fcaf3d/`).
+
+The three north-star configs mirror `fcaf3d_scannet-3d-18class.py`,
+`fcaf3d_sunrgbd-3d-10class.py`, `fcaf3d_s3dis-3d-5class.py`; voxel budgets
+are the TPU static-shape counterpart of MinkowskiEngine's dynamic maps and
+the `pts_threshold=100000` neck pruning.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FCAF3DConfig:
+    # model
+    n_classes: int = 18
+    in_channels: int = 3
+    depth: int = 34
+    n_outs: int = 4
+    head_out_channels: int = 128
+    n_reg_outs: int = 6
+    voxel_size: float = 0.01
+    yaw_parametrization: str = "fcaf3d"
+    with_yaw: bool = False
+    # static row budgets
+    num_points: int = 100000  # input point sample (IndoorPointSample)
+    input_budget: int = 98304  # stride-1 voxels after dedup
+    backbone_budgets: Tuple[int, ...] = (65536, 32768, 24576, 8192, 3072, 1024)
+    neck_budgets: Tuple[int, ...] = (32768, 16384, 4096, 1024)
+    max_gt_boxes: int = 64
+    # assigner (reference `configs/fcaf3d/fcaf3d.py:18-22`)
+    assign_limit: int = 27
+    assign_topk: int = 18
+    # test cfg (reference `:25-28`)
+    nms_pre: int = 1000
+    iou_thr: float = 0.5
+    score_thr: float = 0.01
+    nms_cap: int = 1024
+    # train schedule (reference `:30-33`)
+    lr: float = 0.001
+    weight_decay: float = 0.0001
+    grad_clip: float = 10.0
+    max_epochs: int = 12
+    lr_steps: Tuple[int, ...] = (8, 11)
+    batch_size: int = 16  # global (reference: 8/GPU x 2 GPUs)
+
+
+def fcaf3d_scannet() -> FCAF3DConfig:
+    """ScanNet 18-class, axis-aligned (`fcaf3d_scannet-3d-18class.py`)."""
+    return FCAF3DConfig(n_classes=18, n_reg_outs=6, with_yaw=False)
+
+
+def fcaf3d_sunrgbd() -> FCAF3DConfig:
+    """SUN RGB-D 10-class, rotated boxes (`fcaf3d_sunrgbd-3d-10class.py`)."""
+    return FCAF3DConfig(n_classes=10, n_reg_outs=8, with_yaw=True)
+
+
+def fcaf3d_s3dis() -> FCAF3DConfig:
+    """S3DIS 5-class, axis-aligned (`fcaf3d_s3dis-3d-5class.py`)."""
+    return FCAF3DConfig(n_classes=5, n_reg_outs=6, with_yaw=False)
+
+
+def fcaf3d_tiny(n_classes: int = 4, with_yaw: bool = False) -> FCAF3DConfig:
+    """Miniature budgets for CPU tests."""
+    return FCAF3DConfig(
+        n_classes=n_classes,
+        n_reg_outs=8 if with_yaw else 6,
+        with_yaw=with_yaw,
+        num_points=512,
+        input_budget=512,
+        backbone_budgets=(256, 128, 96, 48, 24, 12),
+        neck_budgets=(96, 48, 24, 12),
+        max_gt_boxes=8,
+        nms_pre=32,
+        nms_cap=32,
+        batch_size=2,
+    )

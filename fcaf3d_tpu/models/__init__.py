@@ -1,0 +1,3 @@
+from .detector import FCAF3D, fcaf3d_get_bboxes, fcaf3d_loss, loss_config, infer_config  # noqa: F401
+from .fcaf3d_head import Fcaf3DNeckWithHead, bbox_pred_to_bbox  # noqa: F401
+from .me_resnet import MEResNet3D  # noqa: F401

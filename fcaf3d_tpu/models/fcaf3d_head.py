@@ -1,0 +1,358 @@
+"""FCAF3D fused neck + anchor-free head, loss and inference (TPU-native).
+
+Clean-room equivalent of `Fcaf3DNeckWithHead`
+(`/root/reference/mmdet3d/models/dense_heads/fcaf3d_neck_with_head.py`):
+
+- GSDN-style top-down neck: generative transposed conv (k2 s2) -> BN -> ELU
+  -> conv3 -> BN -> ELU, sparse-added to the lateral level, then pruned to a
+  per-level row budget by the coarser level's interpolated max-class score
+  (the static-shape version of `pts_threshold` pruning, `_prune` `:110-126`).
+- Shared 1x1 head convs: centerness(1) / reg(n_reg_outs) / cls(n_classes),
+  a learnable per-level `Scale` on `exp()` of the 6 distance outputs
+  (`forward_single` `:256-279`).
+- Mobius ('fcaf3d') / 'sin-cos' / 'naive' yaw parametrizations in
+  `bbox_pred_to_bbox` (`:281-330`).
+- Loss: focal cls over all locations (normalizer = cross-replica mean
+  positive count), BCE centerness + centerness-weighted IoU3D on positives
+  (`_loss_single` `:160-203`). Per-sample sums are vmapped; normalizers are
+  *global batch* means, which under pjit data parallelism reproduces the
+  reference's `reduce_mean` cross-rank averaging.
+- Inference: per-level sigmoid(cls)*sigmoid(centerness), top `nms_pre`,
+  decode, concat, per-class rotated BEV NMS (`_get_bboxes_single`/`_nms`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.nms import nms_bev
+from ..ops.sparse.conv import interpolate_at, sparse_prune, sparse_union_add
+from ..ops.sparse.tensor import SparseTensor
+from .assigner import fcaf3d_assign
+from .blocks import (
+    SparseBatchNorm,
+    SparseConv,
+    SparseGenerativeTranspose,
+    sparse_elu,
+)
+from .losses import bce_loss_sum, focal_loss_sum, iou3d_loss_sum
+
+
+def _normal_init(std):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+def _bias_init_with_prob(prob):
+    v = -float(np.log((1 - prob) / prob))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, v, dtype)
+
+    return init
+
+
+class HeadLevelOutput(NamedTuple):
+    centerness: jnp.ndarray  # [B, N, 1]
+    bbox_pred: jnp.ndarray  # [B, N, n_reg]
+    cls_scores: jnp.ndarray  # [B, N, C]
+    points: jnp.ndarray  # [B, N, 3] metric
+    valid: jnp.ndarray  # [B, N]
+
+
+class Fcaf3DNeckWithHead(nn.Module):
+    """See module docstring. `neck_budgets[i]` is the post-prune row budget of
+    level i (i < n_levels - 1); the deepest level keeps its backbone budget."""
+
+    n_classes: int
+    out_channels: int = 128
+    n_reg_outs: int = 6
+    voxel_size: float = 0.01
+    neck_budgets: Sequence[int] = (32768, 16384, 4096, 1024)
+
+    def _up_block(self, i, out_ch):
+        """MinkowskiGenerativeConvolutionTranspose k2 s2 + BN + ELU + conv3 +
+        BN + ELU (`_make_up_block`, reference `:57-72`)."""
+
+        def apply(x, train):
+            x = SparseGenerativeTranspose(out_ch, name=f"up_block_{i}_tr")(x)
+            x = SparseBatchNorm(name=f"up_block_{i}_bn1")(x, train)
+            x = sparse_elu(x)
+            x = SparseConv(out_ch, 3, name=f"up_block_{i}_conv")(x)
+            x = SparseBatchNorm(name=f"up_block_{i}_bn2")(x, train)
+            return sparse_elu(x)
+
+        return apply
+
+    def _out_block(self, i):
+        def apply(x, train):
+            x = SparseConv(self.out_channels, 3, name=f"out_block_{i}_conv")(x)
+            x = SparseBatchNorm(name=f"out_block_{i}_bn")(x, train)
+            return sparse_elu(x)
+
+        return apply
+
+    @nn.compact
+    def __call__(
+        self, inputs: Tuple[SparseTensor, ...], train: bool = False
+    ) -> Tuple[HeadLevelOutput, ...]:
+        n = len(inputs)
+        centerness_conv = SparseConv(
+            1, 1, kernel_init=_normal_init(0.01), name="centerness_conv"
+        )
+        reg_conv = SparseConv(
+            self.n_reg_outs, 1, kernel_init=_normal_init(0.01), name="reg_conv"
+        )
+        cls_conv = SparseConv(
+            self.n_classes,
+            1,
+            use_bias=True,
+            kernel_init=_normal_init(0.01),
+            bias_init=_bias_init_with_prob(0.01),
+            name="cls_conv",
+        )
+
+        outs = [None] * n
+        x = inputs[-1]
+        scores_st = None
+        for i in range(n - 1, -1, -1):
+            if i < n - 1:
+                x = self._up_block(i + 1, inputs[i].num_channels)(x, train)
+                # union add: laterals whose parent voxel was pruned survive
+                x = sparse_union_add(x, inputs[i])
+                x = self._prune(x, scores_st, self.neck_budgets[i])
+            out = self._out_block(i)(x, train)
+
+            centerness = centerness_conv(out)
+            cls = cls_conv(out)
+            reg = reg_conv(out)
+            scale = self.param(f"scale_{i}", nn.initializers.ones, ())
+            reg_dist = jnp.exp(reg.feats[..., :6] * scale)
+            bbox_pred = jnp.concatenate([reg_dist, reg.feats[..., 6:]], axis=-1)
+            bbox_pred = jnp.where(out.valid[..., None], bbox_pred, 0.0)
+
+            # prune score = max class logit; padding rows are unreachable via
+            # key lookup so (like ME's missing coords) they contribute zero
+            prune_scores = jnp.max(cls.feats, axis=-1, keepdims=True)
+            scores_st = out.with_feats(prune_scores)
+
+            outs[i] = HeadLevelOutput(
+                centerness=centerness.feats,
+                bbox_pred=bbox_pred,
+                cls_scores=cls.feats,
+                points=out.positions(self.voxel_size),
+                valid=out.valid,
+            )
+        return tuple(outs)
+
+    @staticmethod
+    def _prune(x: SparseTensor, scores_st: SparseTensor, budget: int) -> SparseTensor:
+        """Static-budget equivalent of `_prune` (reference `:110-126`): keep
+        the top-`budget` rows by the coarser level's interpolated score."""
+        interp = interpolate_at(
+            jax.lax.stop_gradient(scores_st), x.coords.astype(jnp.float32)
+        )
+        return sparse_prune(x, interp[..., 0], budget)
+
+
+def bbox_pred_to_bbox(points, bbox_pred, yaw_parametrization: str = "fcaf3d"):
+    """Decode head regressions to gravity-centered boxes.
+
+    6 outputs -> [..., 6] axis-aligned (x, y, z, w, l, h); 7/8 outputs add the
+    yaw column per the chosen parametrization (reference `:281-330`).
+    """
+    x = points[..., 0] + (bbox_pred[..., 1] - bbox_pred[..., 0]) / 2
+    y = points[..., 1] + (bbox_pred[..., 3] - bbox_pred[..., 2]) / 2
+    z = points[..., 2] + (bbox_pred[..., 5] - bbox_pred[..., 4]) / 2
+    base = jnp.stack(
+        [
+            x,
+            y,
+            z,
+            bbox_pred[..., 0] + bbox_pred[..., 1],
+            bbox_pred[..., 2] + bbox_pred[..., 3],
+            bbox_pred[..., 4] + bbox_pred[..., 5],
+        ],
+        axis=-1,
+    )
+    n_reg = bbox_pred.shape[-1]
+    if n_reg == 6:
+        return base
+    if yaw_parametrization == "naive":
+        return jnp.concatenate([base, bbox_pred[..., 6:7]], axis=-1)
+    if yaw_parametrization == "sin-cos":
+        norm = jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2 + 1e-12)
+        yaw = jnp.arctan2(bbox_pred[..., 6] / norm, bbox_pred[..., 7] / norm)
+        return jnp.concatenate([base, yaw[..., None]], axis=-1)
+    # 'fcaf3d' Mobius parametrization: reg[6:8] = (sin(2a)ln q, cos(2a)ln q)
+    scale = (
+        bbox_pred[..., 0] + bbox_pred[..., 1] + bbox_pred[..., 2] + bbox_pred[..., 3]
+    )
+    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
+    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+    return jnp.stack(
+        [
+            x,
+            y,
+            z,
+            scale / (1 + q),
+            scale / (1 + q) * q,
+            bbox_pred[..., 5] + bbox_pred[..., 4],
+            alpha,
+        ],
+        axis=-1,
+    )
+
+
+def _concat_levels(outs: Tuple[HeadLevelOutput, ...]):
+    """Concat level outputs along rows; returns (..., scales) with level ids."""
+    centerness = jnp.concatenate([o.centerness for o in outs], axis=1)
+    bbox_pred = jnp.concatenate([o.bbox_pred for o in outs], axis=1)
+    cls_scores = jnp.concatenate([o.cls_scores for o in outs], axis=1)
+    points = jnp.concatenate([o.points for o in outs], axis=1)
+    valid = jnp.concatenate([o.valid for o in outs], axis=1)
+    scales = jnp.concatenate(
+        [
+            jnp.full((o.valid.shape[1],), i, jnp.int32)
+            for i, o in enumerate(outs)
+        ]
+    )
+    return centerness, bbox_pred, cls_scores, points, valid, scales
+
+
+class FcafLossConfig(NamedTuple):
+    n_scales: int = 4
+    assign_limit: int = 27
+    assign_topk: int = 18
+    with_yaw: bool = False
+    yaw_parametrization: str = "fcaf3d"
+
+
+def fcaf3d_loss(
+    outs: Tuple[HeadLevelOutput, ...],
+    gt_boxes: jnp.ndarray,
+    gt_labels: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    cfg: FcafLossConfig,
+):
+    """Batched FCAF3D loss (reference `loss`/`_loss_single` `:128-203`).
+
+    Args:
+        gt_boxes: [B, G, 7] bottom-centered.
+        gt_labels: [B, G] int32.
+        gt_valid: [B, G] bool.
+
+    Returns:
+        dict(loss_centerness, loss_bbox, loss_cls) scalar jnp values.
+    """
+    centerness, bbox_pred, cls_scores, points, valid, scales = _concat_levels(outs)
+    b = centerness.shape[0]
+    scales_b = jnp.broadcast_to(scales[None, :], valid.shape)
+
+    def per_sample(ctr, bp, cls, pts, val, scl, gb, gl, gv):
+        assign = fcaf3d_assign(
+            pts, scl, val, gb, gl, gv,
+            n_scales=cfg.n_scales, limit=cfg.assign_limit, topk=cfg.assign_topk,
+        )
+        pos = (assign.labels >= 0) & val
+        n_pos = jnp.sum(pos).astype(jnp.float32)
+        cls_sum = focal_loss_sum(cls, assign.labels, val)
+        ctr_sum = bce_loss_sum(ctr[..., 0], assign.centerness, pos)
+        pred_boxes = bbox_pred_to_bbox(pts, bp, cfg.yaw_parametrization)
+        if pred_boxes.shape[-1] == 6:
+            pred_boxes = jnp.concatenate(
+                [pred_boxes, jnp.zeros_like(pred_boxes[..., :1])], axis=-1
+            )
+        w = jnp.where(pos, assign.centerness, 0.0)
+        bbox_sum = iou3d_loss_sum(
+            pred_boxes, assign.bbox_targets, w, with_yaw=cfg.with_yaw
+        )
+        return cls_sum, ctr_sum, bbox_sum, n_pos, jnp.sum(w)
+
+    cls_sum, ctr_sum, bbox_sum, n_pos, w_sum = jax.vmap(per_sample)(
+        centerness, bbox_pred, cls_scores, points, valid, scales_b,
+        gt_boxes, gt_labels, gt_valid,
+    )
+    # global-batch means reproduce the reference's cross-rank reduce_mean
+    n_pos_avg = jnp.maximum(jnp.mean(n_pos), 1.0)
+    denorm = jnp.maximum(jnp.mean(w_sum), 1e-6)
+    return {
+        "loss_cls": jnp.mean(cls_sum / n_pos_avg),
+        "loss_centerness": jnp.mean(ctr_sum / n_pos_avg),
+        "loss_bbox": jnp.mean(bbox_sum / denorm),
+    }
+
+
+class FcafTestConfig(NamedTuple):
+    nms_pre: int = 1000
+    iou_thr: float = 0.5
+    score_thr: float = 0.01
+    nms_cap: int = 1024  # per-class candidate cap fed to the NMS matrix
+    with_yaw: bool = False
+    yaw_parametrization: str = "fcaf3d"
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # [B, D, 7] bottom-centered box7
+    scores: jnp.ndarray  # [B, D]
+    labels: jnp.ndarray  # [B, D] int32
+    valid: jnp.ndarray  # [B, D] bool
+
+
+def fcaf3d_get_bboxes(
+    outs: Tuple[HeadLevelOutput, ...], cfg: FcafTestConfig
+) -> Detections:
+    """Batched inference post-processing (reference `_get_bboxes_single`/
+    `_nms` `:226-374`), fully static shapes."""
+
+    def per_sample(levels):
+        cand_boxes, cand_scores = [], []
+        for o in levels:
+            o = HeadLevelOutput(*o)
+            score = jax.nn.sigmoid(o.cls_scores) * jax.nn.sigmoid(o.centerness)
+            score = jnp.where(o.valid[..., None], score, 0.0)
+            max_score = jnp.max(score, axis=-1)
+            k = min(cfg.nms_pre, max_score.shape[0])
+            _, ids = jax.lax.top_k(max_score, k)
+            boxes = bbox_pred_to_bbox(
+                o.points[ids], o.bbox_pred[ids], cfg.yaw_parametrization
+            )
+            if boxes.shape[-1] == 6:
+                boxes = jnp.concatenate(
+                    [boxes, jnp.zeros_like(boxes[..., :1])], axis=-1
+                )
+            cand_boxes.append(boxes)
+            cand_scores.append(score[ids])
+        boxes = jnp.concatenate(cand_boxes, axis=0)  # [Ct, 7] gravity-centered
+        scores = jnp.concatenate(cand_scores, axis=0)  # [Ct, C]
+
+        n_classes = scores.shape[-1]
+        kc = min(cfg.nms_cap, scores.shape[0])
+
+        def per_class(cls_scores):
+            s, ids = jax.lax.top_k(cls_scores, kc)
+            cb = boxes[ids]
+            ok = s > cfg.score_thr
+            keep = nms_bev(cb, s, cfg.iou_thr, valid=ok, rotated=cfg.with_yaw)
+            return cb, s, keep
+
+        cb, s, keep = jax.vmap(per_class)(scores.T)  # [C, kc, ...]
+        labels = jnp.broadcast_to(jnp.arange(n_classes)[:, None], keep.shape)
+        flat_boxes = cb.reshape(-1, 7)
+        # gravity-centered -> bottom-centered canonical box7
+        flat_boxes = flat_boxes.at[:, 2].add(-flat_boxes[:, 5] / 2)
+        return (
+            flat_boxes,
+            s.reshape(-1),
+            labels.reshape(-1).astype(jnp.int32),
+            keep.reshape(-1),
+        )
+
+    boxes, scores, labels, keep = jax.vmap(per_sample)(tuple(tuple(o) for o in outs))
+    return Detections(boxes=boxes, scores=scores, labels=labels, valid=keep)

@@ -1,0 +1,83 @@
+"""Detection losses (focal, BCE, 3D IoU variants, Chamfer) in pure jnp.
+
+Replaces the external mmdet losses the reference imports (`FocalLoss`,
+`CrossEntropyLoss`) plus the in-repo `IoU3DLoss` / `AxisAlignedIoULoss` /
+`ChamferDistance` (`/root/reference/mmdet3d/models/losses/`). All functions
+are mask-aware sums; callers divide by (cross-replica averaged) avg_factors
+to reproduce the reference's `reduce_mean` normalization.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.rotated_iou import axis_aligned_iou, iou_3d
+
+
+def _stable_bce_with_logits(logits, targets):
+    """Elementwise BCE-with-logits, numerically stable."""
+    return jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def focal_loss_sum(logits, labels, valid, gamma: float = 2.0, alpha: float = 0.25):
+    """Summed sigmoid focal loss (mmdet semantics) over valid rows.
+
+    loss = -alpha (1-p)^g log p  [positive class]  +
+           -(1-alpha) p^g log(1-p)  [negatives], summed over all classes.
+    """
+    c = logits.shape[-1]
+    onehot = (labels[:, None] == jnp.arange(c)[None, :]).astype(logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    pt = p * onehot + (1.0 - p) * (1.0 - onehot)
+    alpha_t = alpha * onehot + (1.0 - alpha) * (1.0 - onehot)
+    ce = _stable_bce_with_logits(logits, onehot)
+    loss = alpha_t * ((1.0 - pt) ** gamma) * ce
+    loss = jnp.sum(loss, axis=-1) * valid.astype(logits.dtype)
+    return jnp.sum(loss)
+
+
+def bce_loss_sum(logits, targets, valid):
+    """Summed BCE-with-logits over valid rows (reference centerness loss)."""
+    loss = _stable_bce_with_logits(logits, targets)
+    return jnp.sum(loss * valid.astype(logits.dtype))
+
+
+def iou3d_loss_sum(pred_boxes7, target_boxes7, weight, with_yaw: bool):
+    """Summed (1 - IoU3D) * weight over gravity-centered box pairs.
+
+    with_yaw=True uses the differentiable rotated IoU (`cal_iou_3d` path of
+    `IoU3DLoss`); False drops the yaw column and uses axis-aligned corner IoU
+    (`axis_aligned_iou_loss`).
+    """
+    if with_yaw:
+        iou = iou_3d(pred_boxes7, target_boxes7)
+    else:
+        iou = axis_aligned_iou(pred_boxes7[..., :6], target_boxes7[..., :6])
+    return jnp.sum((1.0 - iou) * weight)
+
+
+def chamfer_distance_sum(src, dst, src_valid, dst_valid, mode: str = "l2"):
+    """Bidirectional Chamfer distance sums (VoteNet vote/center losses).
+
+    Args:
+        src: [N, D]; dst: [M, D]; masks select valid rows.
+
+    Returns:
+        (loss_src_sum, loss_dst_sum, idx_src, idx_dst): summed nearest
+        distances in both directions plus nearest indices.
+    """
+    big = 1e10
+    d = jnp.sum((src[:, None, :] - dst[None, :, :]) ** 2, axis=-1)  # [N, M]
+    if mode == "l1":
+        d = jnp.sqrt(jnp.maximum(d, 1e-12))
+    d = jnp.where(dst_valid[None, :], d, big)
+    d_src = jnp.min(d, axis=1)
+    i_src = jnp.argmin(d, axis=1)
+    d2 = jnp.where(src_valid[:, None], d, big)
+    d_dst = jnp.min(d2, axis=0)
+    i_dst = jnp.argmin(d2, axis=0)
+    loss_src = jnp.sum(jnp.where(src_valid, d_src, 0.0))
+    loss_dst = jnp.sum(jnp.where(dst_valid, d_dst, 0.0))
+    return loss_src, loss_dst, i_src, i_dst

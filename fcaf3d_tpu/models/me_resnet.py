@@ -1,0 +1,72 @@
+"""Sparse 3D ResNet backbone (HDResNet), TPU-native.
+
+Equivalent of the reference's `MEResNet3D`
+(`/root/reference/mmdet3d/models/backbones/me_resnet.py`): stem =
+conv3x3 s2 -> InstanceNorm -> ReLU -> maxpool2x2 s2, then up to four
+BasicBlock stages, each opening with stride 2. `n_outs` truncates stages for
+the 2-/3-scale fast variants. Output tensor strides: 8, 16, 32, 64.
+
+Row budgets: XLA needs static shapes, so each downsampling level carries a
+configured voxel capacity (`budgets`, one per stride 2/4/8/16/32/64 map).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from flax import linen as nn
+
+from ..ops.sparse.tensor import SparseTensor
+from .blocks import (
+    SparseBasicBlock,
+    SparseBatchNorm,
+    SparseConv,
+    SparseInstanceNorm,
+    sparse_pool2x2,
+    sparse_relu,
+)
+
+DEPTH_LAYERS = {
+    14: (1, 1, 1, 1),
+    18: (2, 2, 2, 2),
+    34: (3, 4, 6, 3),
+}
+PLANES = (64, 128, 256, 512)
+INIT_DIM = 64
+
+
+class MEResNet3D(nn.Module):
+    """HDResNet backbone over the sparse engine.
+
+    Attributes:
+        depth: 14/18/34 (BasicBlock variants; Bottleneck depths 50/101 of the
+            reference are not wired yet).
+        n_outs: number of output scales (1-4).
+        budgets: row capacity per downsample level, ordered by stride
+            (2, 4, 8, 16, 32, 64) — six entries regardless of n_outs.
+    """
+
+    depth: int = 34
+    n_outs: int = 4
+    budgets: Sequence[int] = (65536, 32768, 24576, 8192, 3072, 1024)
+
+    @nn.compact
+    def __call__(
+        self, st: SparseTensor, train: bool = False
+    ) -> Tuple[SparseTensor, ...]:
+        layers = DEPTH_LAYERS[self.depth]
+        b2, b4, b8, b16, b32, b64 = self.budgets
+        x = SparseConv(INIT_DIM, 3, stride=2, out_budget=b2, name="conv1")(st)
+        x = SparseInstanceNorm(name="norm1")(x)
+        x = sparse_relu(x)
+        x = sparse_pool2x2(x, out_budget=b4)
+
+        outs = []
+        stage_budgets = (b8, b16, b32, b64)
+        for i in range(self.n_outs):
+            x = SparseBasicBlock(
+                PLANES[i], stride=2, out_budget=stage_budgets[i], name=f"layer{i + 1}_0"
+            )(x, train)
+            for j in range(1, layers[i]):
+                x = SparseBasicBlock(PLANES[i], name=f"layer{i + 1}_{j}")(x, train)
+            outs.append(x)
+        return tuple(outs)

@@ -15,6 +15,7 @@ from .conv import (  # noqa: F401
     kernel_offsets,
     sparse_add_into,
     sparse_conv,
+    sparse_union_add,
     sparse_max_pool,
     sparse_prune,
 )

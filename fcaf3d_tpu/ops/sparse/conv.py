@@ -249,6 +249,54 @@ def generative_transpose_conv2x2(
     )
 
 
+def sparse_union_add(a: SparseTensor, b: SparseTensor, budget: int = None) -> SparseTensor:
+    """a + b on the *union* coordinate map (exact ME sparse-addition
+    semantics, `fcaf3d_neck_with_head.py:101`).
+
+    Rows of `a` and `b` are concatenated, sorted by key, and merged:
+    duplicate keys sum their features (cumsum positions route every row of a
+    key group to the group's first slot). The default budget `Na + Nb` is an
+    exact upper bound, so nothing is dropped.
+    """
+    assert a.stride == b.stride
+    bsz = a.batch_size
+    if budget is None:
+        budget = a.capacity + b.capacity
+    coords = jnp.concatenate([a.coords, b.coords], axis=1)
+    feats = jnp.concatenate([a.feats, b.feats], axis=1)
+    keys = jnp.concatenate([a.keys, b.keys], axis=1)
+    coords, feats, keys = sort_rows(coords, feats, keys)
+
+    n = keys.shape[1]
+    prev = jnp.concatenate(
+        [jnp.full((bsz, 1), SENTINEL, keys.dtype), keys[:, :-1]], axis=1
+    )
+    first = (keys != prev) & (keys != SENTINEL)
+    pos = jnp.cumsum(first, axis=1) - 1  # group slot for every member row
+    ok = (keys != SENTINEL) & (pos < budget) & (pos >= 0)
+    pos = jnp.where(ok, pos, budget)
+    batch_ix = jnp.arange(bsz)[:, None]
+
+    c = feats.shape[-1]
+    out_feats = jnp.zeros((bsz, budget + 1, c), feats.dtype)
+    out_feats = out_feats.at[batch_ix, pos].add(jnp.where(ok[..., None], feats, 0.0))
+    out_coords = jnp.full(
+        (bsz, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32
+    )
+    out_coords = out_coords.at[batch_ix, jnp.where(first & ok, pos, budget)].set(coords)
+    out_keys = jnp.full((bsz, budget + 1), SENTINEL, keys.dtype)
+    out_keys = out_keys.at[batch_ix, jnp.where(first & ok, pos, budget)].set(
+        jnp.where(first & ok, keys, SENTINEL)
+    )
+    return SparseTensor(
+        coords=out_coords[:, :budget],
+        feats=out_feats[:, :budget],
+        keys=out_keys[:, :budget],
+        shift=a.shift,
+        stride=a.stride,
+    )
+
+
 def sparse_add_into(a: SparseTensor, b: SparseTensor) -> SparseTensor:
     """a + b where b's coordinates are a subset of a's (ME sparse addition on
     a shared coordinate manager, `fcaf3d_neck_with_head.py:101`).
