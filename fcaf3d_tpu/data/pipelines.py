@@ -1,0 +1,136 @@
+"""Host-side (numpy) data pipeline transforms.
+
+Clean-room equivalents of the reference pipeline ops used by the FCAF3D /
+VoteNet configs (`/root/reference/mmdet3d/datasets/pipelines/
+transforms_3d.py`): `GlobalAlignment` (:409), `IndoorPointSample` (:820),
+`RandomFlip3D` (:58), `GlobalRotScaleTrans` (:496). They operate on a plain
+sample dict:
+
+    {"points": [N, 3+C] float32,          # xyz + attributes (rgb...)
+     "gt_boxes": [G, 7] float32,          # bottom-centered box7
+     "gt_labels": [G] int64}
+
+and receive a `np.random.Generator` for reproducible augmentation. Box
+rotation/flip follow the framework yaw convention (see core.geometry).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return sample
+
+
+class GlobalAlignment:
+    """Apply the 4x4 axis-align matrix to points (rotation + translation).
+
+    ScanNet boxes in the infos are already axis-aligned, so only points move
+    (reference `transforms_3d.py:409-493`).
+    """
+
+    def __call__(self, sample, rng):
+        mat = sample.get("axis_align_matrix")
+        if mat is None:
+            return sample
+        pts = sample["points"]
+        xyz = pts[:, :3] @ mat[:3, :3].T + mat[:3, 3]
+        sample["points"] = np.concatenate([xyz, pts[:, 3:]], axis=1).astype(np.float32)
+        return sample
+
+
+class PointSample:
+    """`IndoorPointSample`: uniform choice of `num_points`; with replacement
+    iff the cloud is smaller (reference `transforms_3d.py:820-897`)."""
+
+    def __init__(self, num_points: int):
+        self.num_points = num_points
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        n = len(pts)
+        replace = n < self.num_points
+        idx = rng.choice(n, self.num_points, replace=replace)
+        sample["points"] = pts[idx]
+        return sample
+
+
+def _flip_points_boxes(sample, axis: int):
+    """axis 0 = BEV horizontal (x), axis 1 = vertical (y)."""
+    pts = sample["points"].copy()
+    pts[:, axis] = -pts[:, axis]
+    sample["points"] = pts
+    boxes = sample.get("gt_boxes")
+    if boxes is not None and len(boxes):
+        boxes = boxes.copy()
+        boxes[:, axis] = -boxes[:, axis]
+        if axis == 0:
+            boxes[:, 6] = np.pi - boxes[:, 6]
+        else:
+            boxes[:, 6] = -boxes[:, 6]
+        sample["gt_boxes"] = boxes
+    return sample
+
+
+class RandomFlip:
+    """`RandomFlip3D`: independent BEV horizontal/vertical flips."""
+
+    def __init__(self, horizontal_ratio: float = 0.5, vertical_ratio: float = 0.0):
+        self.h = horizontal_ratio
+        self.v = vertical_ratio
+
+    def __call__(self, sample, rng):
+        if self.h > 0 and rng.random() < self.h:
+            sample = _flip_points_boxes(sample, 0)
+            sample["flip_horizontal"] = True
+        if self.v > 0 and rng.random() < self.v:
+            sample = _flip_points_boxes(sample, 1)
+            sample["flip_vertical"] = True
+        return sample
+
+
+class GlobalRotScaleTrans:
+    """`GlobalRotScaleTrans`: rotation -> scaling -> translation, uniform
+    rot/scale and gaussian translation (reference `transforms_3d.py:496-657`)."""
+
+    def __init__(
+        self,
+        rot_range=(-0.087266, 0.087266),
+        scale_range=(0.9, 1.1),
+        translation_std=(0.1, 0.1, 0.1),
+    ):
+        self.rot_range = rot_range
+        self.scale_range = scale_range
+        self.translation_std = np.asarray(translation_std, np.float32)
+
+    def __call__(self, sample, rng):
+        angle = rng.uniform(*self.rot_range) if self.rot_range[0] != self.rot_range[1] else self.rot_range[0]
+        scale = rng.uniform(*self.scale_range) if self.scale_range[0] != self.scale_range[1] else self.scale_range[0]
+        trans = (rng.standard_normal(3) * self.translation_std).astype(np.float32)
+
+        c, s = np.cos(angle), np.sin(angle)
+        # clockwise-for-positive, matching core.geometry.rotate_points_z
+        rot_t = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+        pts = sample["points"].copy()
+        pts[:, :3] = pts[:, :3] @ rot_t * scale + trans
+        sample["points"] = pts
+
+        boxes = sample.get("gt_boxes")
+        if boxes is not None and len(boxes):
+            boxes = boxes.copy()
+            boxes[:, :3] = boxes[:, :3] @ rot_t * scale + trans
+            boxes[:, 3:6] *= scale
+            boxes[:, 6] += angle
+            sample["gt_boxes"] = boxes
+        sample["pcd_rotation"] = angle
+        sample["pcd_scale_factor"] = scale
+        return sample

@@ -44,8 +44,8 @@ def model_and_outs():
     rng = np.random.RandomState(0)
     pts, colors, valid, boxes, labels, gt_valid = synth_batch(rng)
     model = FCAF3D(cfg)
-    variables = model.init(jax.random.PRNGKey(0), pts, colors, valid)
-    outs = model.apply(variables, pts, colors, valid)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, colors, valid)
+    outs = jax.jit(model.apply)(variables, pts, colors, valid)
     return cfg, model, variables, outs, (pts, colors, valid, boxes, labels, gt_valid)
 
 
