@@ -40,6 +40,8 @@ from .tensor import (
     EXTENT,
     SENTINEL,
     SparseTensor,
+    batched_scatter_add,
+    batched_scatter_set,
     compact_unique,
     downsample_coords,
     encode_coords,
@@ -119,7 +121,6 @@ def _gather_gemm_bwd(n_chunks, res, dout):
     bounds = np.linspace(0, k, n_chunks + 1).astype(int)
     dw = jnp.zeros_like(weight)
     dfeats_pad = jnp.zeros((b, n + 1, cin), dtype=feats.dtype)
-    batch_ix = jnp.arange(b)[:, None]
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if lo == hi:
             continue
@@ -131,8 +132,8 @@ def _gather_gemm_bwd(n_chunks, res, dout):
             "bmd,kcd->bmkc", dout, weight[lo:hi], preferred_element_type=feats.dtype
         )
         flat_idx = idx[:, :, lo:hi].reshape(b, -1)
-        dfeats_pad = dfeats_pad.at[batch_ix, flat_idx].add(
-            contrib.reshape(b, -1, cin)
+        dfeats_pad = batched_scatter_add(
+            dfeats_pad, flat_idx, contrib.reshape(b, -1, cin)
         )
     return dfeats_pad[:, :n], None, dw
 
@@ -275,18 +276,18 @@ def sparse_union_add(a: SparseTensor, b: SparseTensor, budget: int = None) -> Sp
     pos = jnp.cumsum(first, axis=1) - 1  # group slot for every member row
     ok = (keys != SENTINEL) & (pos < budget) & (pos >= 0)
     pos = jnp.where(ok, pos, budget)
-    batch_ix = jnp.arange(bsz)[:, None]
 
     c = feats.shape[-1]
     out_feats = jnp.zeros((bsz, budget + 1, c), feats.dtype)
-    out_feats = out_feats.at[batch_ix, pos].add(jnp.where(ok[..., None], feats, 0.0))
+    out_feats = batched_scatter_add(out_feats, pos, jnp.where(ok[..., None], feats, 0.0))
+    first_pos = jnp.where(first & ok, pos, budget)
     out_coords = jnp.full(
         (bsz, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32
     )
-    out_coords = out_coords.at[batch_ix, jnp.where(first & ok, pos, budget)].set(coords)
+    out_coords = batched_scatter_set(out_coords, first_pos, coords)
     out_keys = jnp.full((bsz, budget + 1), SENTINEL, keys.dtype)
-    out_keys = out_keys.at[batch_ix, jnp.where(first & ok, pos, budget)].set(
-        jnp.where(first & ok, keys, SENTINEL)
+    out_keys = batched_scatter_set(
+        out_keys, first_pos, jnp.where(first & ok, keys, SENTINEL)
     )
     return SparseTensor(
         coords=out_coords[:, :budget],
@@ -309,7 +310,7 @@ def sparse_add_into(a: SparseTensor, b: SparseTensor) -> SparseTensor:
     idx = lookup(a.keys, b.keys)  # [B, Nb] in [0, Na]
     bsz, na, c = a.feats.shape
     pad = jnp.zeros((bsz, na + 1, c), a.feats.dtype)
-    scattered = pad.at[jnp.arange(bsz)[:, None], idx].add(b.feats)[:, :na]
+    scattered = batched_scatter_add(pad, idx, b.feats)[:, :na]
     return a.with_feats(a.feats + scattered)
 
 
@@ -325,20 +326,21 @@ def sparse_prune(st: SparseTensor, scores: jnp.ndarray, budget: int) -> SparseTe
     s = jnp.where(st.valid, scores.reshape(b, n), -jnp.inf)
     k = min(budget, n)
     _, top_idx = jax.lax.top_k(s, k)  # [B, k]
-    keep = jnp.zeros((b, n), bool).at[jnp.arange(b)[:, None], top_idx].set(True)
+    keep = batched_scatter_set(
+        jnp.zeros((b, n + 1), bool), jnp.minimum(top_idx, n), jnp.ones((b, k), bool)
+    )[:, :n]
     keep = keep & st.valid
 
     pos = jnp.cumsum(keep, axis=1) - 1
     pos = jnp.where(keep, pos, budget)
-    batch_ix = jnp.arange(b)[:, None]
     out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
-    out_coords = out_coords.at[batch_ix, pos].set(st.coords)
+    out_coords = batched_scatter_set(out_coords, pos, st.coords)
     out_keys = jnp.full((b, budget + 1), SENTINEL, st.keys.dtype)
-    out_keys = out_keys.at[batch_ix, pos].set(jnp.where(keep, st.keys, SENTINEL))
+    out_keys = batched_scatter_set(out_keys, pos, jnp.where(keep, st.keys, SENTINEL))
     c = st.feats.shape[-1]
     out_feats = jnp.zeros((b, budget + 1, c), st.feats.dtype)
-    out_feats = out_feats.at[batch_ix, pos].set(
-        jnp.where(keep[..., None], st.feats, 0.0)
+    out_feats = batched_scatter_set(
+        out_feats, pos, jnp.where(keep[..., None], st.feats, 0.0)
     )
     return SparseTensor(
         coords=out_coords[:, :budget],

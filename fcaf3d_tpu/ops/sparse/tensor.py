@@ -29,11 +29,16 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+import numpy as np
+
 # bit budget: x:11, y:11, z:10 -> exactly 32 bits
 X_BITS, Y_BITS, Z_BITS = 11, 11, 10
 # x is capped one short so the all-ones SENTINEL can never be a valid key
 EXTENT = (2 ** X_BITS - 1, 2 ** Y_BITS, 2 ** Z_BITS)  # (2047, 2048, 1024)
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# NOTE: numpy scalar, NOT a jnp array — a device-array constant captured in
+# jitted code forces a device-to-host fetch at lowering time, and the first
+# D2H in a process costs minutes through the axon TPU tunnel.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 @struct.dataclass
@@ -93,6 +98,18 @@ def encode_coords(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(in_range, key, SENTINEL)
 
 
+def batched_scatter_set(target: jnp.ndarray, pos: jnp.ndarray, values: jnp.ndarray):
+    """vmap of per-sample `target.at[pos].set(values)` over the leading batch
+    dim. Using vmapped scatters (instead of explicit `arange(B)` index
+    columns) keeps the batch dimension a true scatter batching dim, which
+    the SPMD partitioner shards without inserting all-gathers."""
+    return jax.vmap(lambda t, p, v: t.at[p].set(v))(target, pos, values)
+
+
+def batched_scatter_add(target: jnp.ndarray, pos: jnp.ndarray, values: jnp.ndarray):
+    return jax.vmap(lambda t, p, v: t.at[p].add(v))(target, pos, values)
+
+
 def sort_rows(coords: jnp.ndarray, feats: Optional[jnp.ndarray], keys: jnp.ndarray):
     """Sort rows of a batched (coords, feats, keys) triplet by key (stable)."""
     order = jnp.argsort(keys, axis=-1, stable=True)
@@ -124,14 +141,17 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
     ok = first & (pos < budget)
     pos = jnp.where(ok, pos, budget)  # dump overflow/non-first into slot `budget`
 
-    batch_idx = jnp.arange(b)[:, None]
     out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
-    out_coords = out_coords.at[batch_idx, pos].set(coords)
+    out_coords = batched_scatter_set(out_coords, pos, coords)
     out_keys = jnp.full((b, budget + 1), SENTINEL, keys.dtype)
-    out_keys = out_keys.at[batch_idx, pos].set(jnp.where(ok, keys, SENTINEL))
+    out_keys = batched_scatter_set(out_keys, pos, jnp.where(ok, keys, SENTINEL))
     src = jnp.full((b, budget + 1), n, jnp.int32)
-    src = src.at[batch_idx, pos].set(
-        jnp.where(ok, jnp.arange(n, dtype=jnp.int32)[None, :], n)
+    src = batched_scatter_set(
+        src,
+        pos,
+        jnp.broadcast_to(
+            jnp.where(ok, jnp.arange(n, dtype=jnp.int32)[None, :], n), (b, n)
+        ),
     )
     return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget]
 

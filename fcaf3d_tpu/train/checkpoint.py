@@ -1,0 +1,59 @@
+"""Orbax checkpointing: save/restore full train state + resume.
+
+Replaces mmcv's `CheckpointHook` + `load_checkpoint`/`resume_from`
+(reference `configs/fcaf3d/fcaf3d.py:36-39`, `tools/train.py:116-117`):
+`epoch_N` directories under work_dir, a `latest` pointer, max_keep pruning,
+and the `load` (weights only) vs `resume` (full state) distinction.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+from .trainer import TrainState
+
+
+def _mngr(work_dir: str, max_keep: int = 1) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(os.path.join(work_dir, "ckpts")),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_keep, create=True),
+    )
+
+
+def save_checkpoint(work_dir: str, epoch: int, state: TrainState, max_keep: int = 1):
+    mngr = _mngr(work_dir, max_keep)
+    mngr.save(epoch, args=ocp.args.StandardSave(state))
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def latest_epoch(work_dir: str) -> Optional[int]:
+    path = os.path.join(work_dir, "ckpts")
+    if not os.path.isdir(path):
+        return None
+    mngr = _mngr(work_dir)
+    step = mngr.latest_step()
+    mngr.close()
+    return step
+
+
+def restore_checkpoint(
+    work_dir: str, state: TrainState, epoch: Optional[int] = None
+) -> Tuple[TrainState, int]:
+    """Restore `state`-shaped checkpoint; returns (state, epoch)."""
+    mngr = _mngr(work_dir)
+    if epoch is None:
+        epoch = mngr.latest_step()
+    restored = mngr.restore(epoch, args=ocp.args.StandardRestore(state))
+    mngr.close()
+    return restored, int(epoch)
+
+
+def load_params(work_dir: str, state: TrainState) -> TrainState:
+    """Weights-only load (`load_from` semantics): params + batch_stats, fresh
+    optimizer."""
+    restored, _ = restore_checkpoint(work_dir, state)
+    return state.replace(params=restored.params, batch_stats=restored.batch_stats)

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference `tools/test.py --eval mAP` equivalent)."""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["scannet", "sunrgbd", "s3dis"], required=True)
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--work-dir", required=True, help="dir containing ckpts/")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--max-scenes", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None, help="json file for metrics")
+    args = ap.parse_args()
+
+    from fcaf3d_tpu.apis.inference import init_detector
+    from fcaf3d_tpu.apis.test import evaluate_dataset, make_test_pipeline
+    from fcaf3d_tpu.configs import fcaf3d_s3dis, fcaf3d_scannet, fcaf3d_sunrgbd
+    from fcaf3d_tpu.data import (
+        IndoorDetDataset,
+        S3DIS_CLASSES,
+        SCANNET_CLASSES,
+        SUNRGBD_CLASSES,
+    )
+
+    if args.dataset == "scannet":
+        cfg, classes, ann, align = (
+            fcaf3d_scannet(), SCANNET_CLASSES, "scannet_infos_val.pkl", True)
+    elif args.dataset == "sunrgbd":
+        cfg, classes, ann, align = (
+            fcaf3d_sunrgbd(), SUNRGBD_CLASSES, "sunrgbd_infos_val.pkl", False)
+    else:
+        cfg, classes, ann, align = (
+            fcaf3d_s3dis(), S3DIS_CLASSES, "s3dis_infos_Area_5.pkl", False)
+
+    val = IndoorDetDataset(
+        args.data_root,
+        os.path.join(args.data_root, ann),
+        classes,
+        make_test_pipeline(cfg, align=align),
+        test_mode=True,
+    )
+    model, variables = init_detector(cfg, args.work_dir)
+    metrics = evaluate_dataset(
+        model, variables, val, cfg,
+        batch_size=args.batch, seed=args.seed, max_scenes=args.max_scenes,
+    )
+    for k in sorted(metrics):
+        print(f"{k}: {metrics[k]:.4f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
