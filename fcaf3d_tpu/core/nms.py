@@ -68,7 +68,13 @@ def nms_bev(boxes7, scores, iou_thr, valid=None, rotated=True):
     bev = sboxes[:, jnp.array([0, 1, 3, 4, 6])]
     if not rotated:
         bev = bev.at[:, 4].set(0.0)
-    iou = pairwise_iou_bev(bev, bev)
+    # chunk the [K, K] rotated-IoU matrix: the polygon-clip intermediates are
+    # ~50 floats per pair, so a full K=1024 matrix would transiently need GBs
+    chunk = max(1, min(128, k))
+    pad = (-k) % chunk
+    rows = jnp.pad(bev, ((0, pad), (0, 0))).reshape(-1, chunk, 5)
+    iou = jax.lax.map(lambda r: pairwise_iou_bev(r, bev), rows)
+    iou = iou.reshape(-1, k)[:k]
 
     keep_sorted = _greedy_suppress(iou, svalid, iou_thr)
     keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)

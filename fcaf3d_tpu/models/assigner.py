@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
-from jax import lax
 
 from ..core.geometry import gravity_center, rotate_points_z
 
@@ -109,7 +108,8 @@ def fcaf3d_assign(
     centerness = compute_centerness(face)  # [P, G]
     cness = jnp.where(inside & scale_ok, centerness, -1.0)
     k = min(topk + 1, p)
-    thr = lax.top_k(cness.T, k)[0][:, -1]  # [G]
+    # (topk+1)-th largest per box via sort (top_k would all-gather under SPMD)
+    thr = -jnp.sort(-cness, axis=0)[k - 1, :]  # [G]
     top_ok = cness > thr[None, :]
 
     # condition 4: min volume wins

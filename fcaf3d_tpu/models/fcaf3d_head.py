@@ -319,7 +319,7 @@ def fcaf3d_get_bboxes(
             score = jnp.where(o.valid[..., None], score, 0.0)
             max_score = jnp.max(score, axis=-1)
             k = min(cfg.nms_pre, max_score.shape[0])
-            _, ids = jax.lax.top_k(max_score, k)
+            ids = jnp.argsort(-max_score, stable=True)[:k]
             boxes = bbox_pred_to_bbox(
                 o.points[ids], o.bbox_pred[ids], cfg.yaw_parametrization
             )
@@ -336,13 +336,15 @@ def fcaf3d_get_bboxes(
         kc = min(cfg.nms_cap, scores.shape[0])
 
         def per_class(cls_scores):
-            s, ids = jax.lax.top_k(cls_scores, kc)
+            ids = jnp.argsort(-cls_scores, stable=True)[:kc]
+            s = cls_scores[ids]
             cb = boxes[ids]
             ok = s > cfg.score_thr
             keep = nms_bev(cb, s, cfg.iou_thr, valid=ok, rotated=cfg.with_yaw)
             return cb, s, keep
 
-        cb, s, keep = jax.vmap(per_class)(scores.T)  # [C, kc, ...]
+        # serialized over classes (lax.map) to bound NMS memory
+        cb, s, keep = jax.lax.map(per_class, scores.T)  # [C, kc, ...]
         labels = jnp.broadcast_to(jnp.arange(n_classes)[:, None], keep.shape)
         flat_boxes = cb.reshape(-1, 7)
         # gravity-centered -> bottom-centered canonical box7

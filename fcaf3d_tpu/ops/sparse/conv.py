@@ -325,11 +325,15 @@ def sparse_prune(st: SparseTensor, scores: jnp.ndarray, budget: int) -> SparseTe
     b, n = st.keys.shape
     s = jnp.where(st.valid, scores.reshape(b, n), -jnp.inf)
     k = min(budget, n)
-    _, top_idx = jax.lax.top_k(s, k)  # [B, k]
-    keep = batched_scatter_set(
-        jnp.zeros((b, n + 1), bool), jnp.minimum(top_idx, n), jnp.ones((b, k), bool)
-    )[:, :n]
-    keep = keep & st.valid
+    # rank-based top-k (stable ties) instead of lax.top_k: GSPMD turns TopK
+    # on batch-sharded arrays into an all-gather; argsort partitions cleanly.
+    order = jnp.argsort(-s, axis=1, stable=True)  # [B, n]
+    rank = batched_scatter_set(
+        jnp.zeros((b, n), jnp.int32),
+        order,
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n)),
+    )
+    keep = (rank < k) & st.valid
 
     pos = jnp.cumsum(keep, axis=1) - 1
     pos = jnp.where(keep, pos, budget)
