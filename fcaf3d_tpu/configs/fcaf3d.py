@@ -24,6 +24,9 @@ class FCAF3DConfig:
     voxel_size: float = 0.01
     yaw_parametrization: str = "fcaf3d"
     with_yaw: bool = False
+    # activation dtype on the conv path (params stay f32); bf16 doubles MXU
+    # rate and halves gather/scatter HBM traffic on TPU
+    compute_dtype: str = "bfloat16"
     # static row budgets
     num_points: int = 100000  # input point sample (IndoorPointSample)
     input_budget: int = 98304  # stride-1 voxels after dedup
@@ -68,6 +71,7 @@ def fcaf3d_tiny(n_classes: int = 4, with_yaw: bool = False) -> FCAF3DConfig:
         n_classes=n_classes,
         n_reg_outs=8 if with_yaw else 6,
         with_yaw=with_yaw,
+        compute_dtype="float32",
         num_points=512,
         input_budget=512,
         backbone_budgets=(256, 128, 96, 48, 24, 12),

@@ -58,6 +58,8 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
+        w = w.astype(st.feats.dtype)
+        b = b.astype(st.feats.dtype) if b is not None else None
         return sparse_conv(
             st,
             w,
@@ -80,7 +82,7 @@ class SparseGenerativeTranspose(nn.Module):
         w = self.param(
             "kernel", self.kernel_init, (8, st.num_channels, self.out_channels)
         )
-        return generative_transpose_conv2x2(st, w)
+        return generative_transpose_conv2x2(st, w.astype(st.feats.dtype))
 
 
 class SparseBatchNorm(nn.Module):
@@ -105,11 +107,12 @@ class SparseBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
+        feats32 = st.feats.astype(jnp.float32)
         if train:
-            mask = st.valid[..., None].astype(st.feats.dtype)
+            mask = st.valid[..., None].astype(jnp.float32)
             count = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(st.feats * mask, axis=(0, 1)) / count
-            var = jnp.sum(((st.feats - mean) ** 2) * mask, axis=(0, 1)) / count
+            mean = jnp.sum(feats32 * mask, axis=(0, 1)) / count
+            var = jnp.sum(((feats32 - mean) ** 2) * mask, axis=(0, 1)) / count
             if not self.is_initializing():
                 ra_mean.value = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean
@@ -119,8 +122,8 @@ class SparseBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = scale / jnp.sqrt(var + self.eps)
-        out = (st.feats - mean) * inv + bias
-        out = jnp.where(st.valid[..., None], out, 0.0)
+        out = (feats32 - mean) * inv + bias
+        out = jnp.where(st.valid[..., None], out, 0.0).astype(st.feats.dtype)
         return st.with_feats(out)
 
 
@@ -135,12 +138,13 @@ class SparseInstanceNorm(nn.Module):
         c = st.num_channels
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        mask = st.valid[..., None].astype(st.feats.dtype)
+        feats32 = st.feats.astype(jnp.float32)
+        mask = st.valid[..., None].astype(jnp.float32)
         count = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1,1]
-        mean = jnp.sum(st.feats * mask, axis=1, keepdims=True) / count
-        var = jnp.sum(((st.feats - mean) ** 2) * mask, axis=1, keepdims=True) / count
-        out = (st.feats - mean) / jnp.sqrt(var + self.eps) * scale + bias
-        out = jnp.where(st.valid[..., None], out, 0.0)
+        mean = jnp.sum(feats32 * mask, axis=1, keepdims=True) / count
+        var = jnp.sum(((feats32 - mean) ** 2) * mask, axis=1, keepdims=True) / count
+        out = (feats32 - mean) / jnp.sqrt(var + self.eps) * scale + bias
+        out = jnp.where(st.valid[..., None], out, 0.0).astype(st.feats.dtype)
         return st.with_feats(out)
 
 

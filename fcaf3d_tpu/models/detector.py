@@ -39,6 +39,7 @@ class FCAF3D(nn.Module):
             voxel_size=c.voxel_size,
             budget=c.input_budget,
         )
+        st = st.with_feats(st.feats.astype(c.compute_dtype))
         feats = MEResNet3D(
             depth=c.depth,
             n_outs=c.n_outs,

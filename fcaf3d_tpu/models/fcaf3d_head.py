@@ -132,20 +132,24 @@ class Fcaf3DNeckWithHead(nn.Module):
             centerness = centerness_conv(out)
             cls = cls_conv(out)
             reg = reg_conv(out)
+            # head outputs leave the (possibly bf16) conv path in f32
+            ctr_feats = centerness.feats.astype(jnp.float32)
+            cls_feats = cls.feats.astype(jnp.float32)
+            reg_feats = reg.feats.astype(jnp.float32)
             scale = self.param(f"scale_{i}", nn.initializers.ones, ())
-            reg_dist = jnp.exp(reg.feats[..., :6] * scale)
-            bbox_pred = jnp.concatenate([reg_dist, reg.feats[..., 6:]], axis=-1)
+            reg_dist = jnp.exp(reg_feats[..., :6] * scale)
+            bbox_pred = jnp.concatenate([reg_dist, reg_feats[..., 6:]], axis=-1)
             bbox_pred = jnp.where(out.valid[..., None], bbox_pred, 0.0)
 
             # prune score = max class logit; padding rows are unreachable via
             # key lookup so (like ME's missing coords) they contribute zero
-            prune_scores = jnp.max(cls.feats, axis=-1, keepdims=True)
+            prune_scores = jnp.max(cls_feats, axis=-1, keepdims=True)
             scores_st = out.with_feats(prune_scores)
 
             outs[i] = HeadLevelOutput(
-                centerness=centerness.feats,
+                centerness=ctr_feats,
                 bbox_pred=bbox_pred,
-                cls_scores=cls.feats,
+                cls_scores=cls_feats,
                 points=out.positions(self.voxel_size),
                 valid=out.valid,
             )

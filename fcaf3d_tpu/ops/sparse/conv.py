@@ -119,23 +119,24 @@ def _gather_gemm_bwd(n_chunks, res, dout):
     b, n, cin = feats.shape
     k = weight.shape[0]
     bounds = np.linspace(0, k, n_chunks + 1).astype(int)
-    dw = jnp.zeros_like(weight)
-    dfeats_pad = jnp.zeros((b, n + 1, cin), dtype=feats.dtype)
+    # accumulate both gradients in f32 even under bf16 compute
+    dw = jnp.zeros(weight.shape, jnp.float32)
+    dfeats_pad = jnp.zeros((b, n + 1, cin), jnp.float32)
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if lo == hi:
             continue
         g = _gather_rows(feats, idx[:, :, lo:hi])  # recompute
         dw = dw.at[lo:hi].add(
-            jnp.einsum("bmkc,bmd->kcd", g, dout, preferred_element_type=dw.dtype)
+            jnp.einsum("bmkc,bmd->kcd", g, dout, preferred_element_type=jnp.float32)
         )
         contrib = jnp.einsum(
-            "bmd,kcd->bmkc", dout, weight[lo:hi], preferred_element_type=feats.dtype
+            "bmd,kcd->bmkc", dout, weight[lo:hi], preferred_element_type=jnp.float32
         )
         flat_idx = idx[:, :, lo:hi].reshape(b, -1)
         dfeats_pad = batched_scatter_add(
             dfeats_pad, flat_idx, contrib.reshape(b, -1, cin)
         )
-    return dfeats_pad[:, :n], None, dw
+    return dfeats_pad[:, :n].astype(feats.dtype), None, dw.astype(weight.dtype)
 
 
 gather_gemm.defvjp(_gather_gemm_fwd, _gather_gemm_bwd)
