@@ -3,5 +3,6 @@ from .fcaf3d import (  # noqa: F401
     fcaf3d_s3dis,
     fcaf3d_scannet,
     fcaf3d_sunrgbd,
+    fcaf3d_nano,
     fcaf3d_tiny,
 )

@@ -40,7 +40,7 @@ class FCAF3DConfig:
     nms_pre: int = 1000
     iou_thr: float = 0.5
     score_thr: float = 0.01
-    nms_cap: int = 1024
+    nms_cap: int = 256  # per-class candidate cap fed to the NMS matrix
     # train schedule (reference `:30-33`)
     lr: float = 0.001
     weight_decay: float = 0.0001
@@ -63,6 +63,26 @@ def fcaf3d_sunrgbd() -> FCAF3DConfig:
 def fcaf3d_s3dis() -> FCAF3DConfig:
     """S3DIS 5-class, axis-aligned (`fcaf3d_s3dis-3d-5class.py`)."""
     return FCAF3DConfig(n_classes=5, n_reg_outs=6, with_yaw=False)
+
+
+def fcaf3d_nano(n_classes: int = 3) -> FCAF3DConfig:
+    """Minimal config for multi-device dry runs: per-device compute must be
+    sub-second so CPU-mesh collective rendezvous (40s timeout, possibly
+    oversubscribed cores) can't drift apart."""
+    return FCAF3DConfig(
+        n_classes=n_classes,
+        n_reg_outs=6,
+        with_yaw=False,
+        compute_dtype="float32",
+        num_points=128,
+        input_budget=128,
+        backbone_budgets=(96, 64, 48, 24, 12, 8),
+        neck_budgets=(48, 24, 12, 8),
+        max_gt_boxes=4,
+        nms_pre=16,
+        nms_cap=16,
+        batch_size=8,
+    )
 
 
 def fcaf3d_tiny(n_classes: int = 4, with_yaw: bool = False) -> FCAF3DConfig:

@@ -66,15 +66,22 @@ def nms_bev(boxes7, scores, iou_thr, valid=None, rotated=True):
     svalid = valid[order]
 
     bev = sboxes[:, jnp.array([0, 1, 3, 4, 6])]
-    if not rotated:
-        bev = bev.at[:, 4].set(0.0)
-    # chunk the [K, K] rotated-IoU matrix: the polygon-clip intermediates are
-    # ~50 floats per pair, so a full K=1024 matrix would transiently need GBs
-    chunk = max(1, min(128, k))
-    pad = (-k) % chunk
-    rows = jnp.pad(bev, ((0, pad), (0, 0))).reshape(-1, chunk, 5)
-    iou = jax.lax.map(lambda r: pairwise_iou_bev(r, bev), rows)
-    iou = iou.reshape(-1, k)[:k]
+    if rotated:
+        iou = pairwise_iou_bev(bev, bev)
+    else:
+        # pcdet nms_normal: axis-aligned BEV overlap, heading ignored — far
+        # cheaper than polygon clipping
+        lo = bev[:, :2] - bev[:, 2:4] * 0.5
+        hi = bev[:, :2] + bev[:, 2:4] * 0.5
+        inter = jnp.clip(
+            jnp.minimum(hi[:, None, :], hi[None, :, :])
+            - jnp.maximum(lo[:, None, :], lo[None, :, :]),
+            0.0,
+        )
+        inter_a = inter[..., 0] * inter[..., 1]
+        area = bev[:, 2] * bev[:, 3]
+        union = area[:, None] + area[None, :] - inter_a
+        iou = inter_a / jnp.maximum(union, 1e-8)
 
     keep_sorted = _greedy_suppress(iou, svalid, iou_thr)
     keep = jnp.zeros((k,), dtype=bool).at[order].set(keep_sorted)

@@ -46,7 +46,7 @@ class SparseConv(nn.Module):
     n_chunks: int = 3
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor, plan=None) -> SparseTensor:
         k = self.kernel_size ** 3
         w = self.param(
             "kernel",
@@ -68,6 +68,7 @@ class SparseConv(nn.Module):
             bias=b,
             out_budget=self.out_budget,
             n_chunks=self.n_chunks,
+            plan=plan,
         )
 
 
@@ -174,14 +175,22 @@ class SparseBasicBlock(nn.Module):
     out_budget: Optional[int] = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
+    def __call__(
+        self,
+        st: SparseTensor,
+        train: bool = False,
+        plans=None,
+    ) -> SparseTensor:
+        """`plans` is an optional (plan_conv1, plan_conv2, plan_downsample)
+        triple of precomputed `conv_plan`s (see me_resnet stage sharing)."""
+        p1, p2, pds = plans if plans is not None else (None, None, None)
         residual = st
         out = SparseConv(
             self.planes, 3, stride=self.stride, out_budget=self.out_budget, name="conv1"
-        )(st)
+        )(st, plan=p1)
         out = SparseBatchNorm(name="norm1")(out, train)
         out = sparse_relu(out)
-        out = SparseConv(self.planes, 3, name="conv2")(out)
+        out = SparseConv(self.planes, 3, name="conv2")(out, plan=p2)
         out = SparseBatchNorm(name="norm2")(out, train)
 
         if self.stride != 1 or st.num_channels != self.planes:
@@ -191,7 +200,7 @@ class SparseBasicBlock(nn.Module):
                 stride=self.stride,
                 out_budget=self.out_budget,
                 name="downsample_conv",
-            )(st)
+            )(st, plan=pds)
             residual = SparseBatchNorm(name="downsample_norm")(residual, train)
 
         # strided main/skip paths produce the identical (sorted) coord map

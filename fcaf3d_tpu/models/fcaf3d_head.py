@@ -347,8 +347,7 @@ def fcaf3d_get_bboxes(
             keep = nms_bev(cb, s, cfg.iou_thr, valid=ok, rotated=cfg.with_yaw)
             return cb, s, keep
 
-        # serialized over classes (lax.map) to bound NMS memory
-        cb, s, keep = jax.lax.map(per_class, scores.T)  # [C, kc, ...]
+        cb, s, keep = jax.vmap(per_class)(scores.T)  # [C, kc, ...]
         labels = jnp.broadcast_to(jnp.arange(n_classes)[:, None], keep.shape)
         flat_boxes = cb.reshape(-1, 7)
         # gravity-centered -> bottom-centered canonical box7

@@ -15,6 +15,7 @@ from typing import Sequence, Tuple
 
 from flax import linen as nn
 
+from ..ops.sparse.conv import build_kernel_map, conv_plan, kernel_offsets
 from ..ops.sparse.tensor import SparseTensor
 from .blocks import (
     SparseBasicBlock,
@@ -63,10 +64,20 @@ class MEResNet3D(nn.Module):
         outs = []
         stage_budgets = (b8, b16, b32, b64)
         for i in range(self.n_outs):
+            # one kernel map per coordinate map, shared by every conv of the
+            # stage (kernel-map building dominates sparse-conv cost on TPU)
+            plan_s2 = conv_plan(x, 3, 2, stage_budgets[i])
+            out_coords, out_keys, _ = plan_s2
+            plan_ds = (out_coords, out_keys, build_kernel_map(
+                x.keys, out_coords, kernel_offsets(1, x.stride)))
+            plan_s1 = (out_coords, out_keys, build_kernel_map(
+                out_keys, out_coords, kernel_offsets(3, x.stride * 2)))
             x = SparseBasicBlock(
                 PLANES[i], stride=2, out_budget=stage_budgets[i], name=f"layer{i + 1}_0"
-            )(x, train)
+            )(x, train, plans=(plan_s2, plan_s1, plan_ds))
             for j in range(1, layers[i]):
-                x = SparseBasicBlock(PLANES[i], name=f"layer{i + 1}_{j}")(x, train)
+                x = SparseBasicBlock(PLANES[i], name=f"layer{i + 1}_{j}")(
+                    x, train, plans=(plan_s1, plan_s1, None)
+                )
             outs.append(x)
         return tuple(outs)

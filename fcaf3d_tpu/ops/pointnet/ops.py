@@ -1,0 +1,131 @@
+"""PointNet++ primitive ops in pure jnp (TPU-friendly, static shapes).
+
+Replaces the reference's CUDA extensions `furthest_point_sample_ext`,
+`ball_query_ext`, `gather_points_ext`, `group_points_ext`,
+`interpolate_ext` (three_nn/three_interpolate), `knn_ext`
+(`/root/reference/mmdet3d/ops/*/src/`). All take padded [B, N, ...] arrays
+with validity masks; neighbor searches are brute-force pairwise distances
+(N <= ~50k, centers <= ~2k indoors — a few MFLOP, ideal for the VPU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def _sqdist(a, b):
+    """Pairwise squared distances [..., N, 3] x [..., M, 3] -> [..., N, M]."""
+    return (
+        jnp.sum(a * a, -1)[..., :, None]
+        - 2.0 * jnp.einsum("...nc,...mc->...nm", a, b)
+        + jnp.sum(b * b, -1)[..., None, :]
+    )
+
+
+def furthest_point_sample(points, num_samples, valid=None):
+    """Iterative FPS (reference `furthest_point_sample_ext`, D-FPS variant).
+
+    Args:
+        points: [B, N, 3].
+        num_samples: static int.
+        valid: [B, N] bool; invalid rows are never selected.
+
+    Returns:
+        idx: [B, num_samples] int32 (starts at index 0, like the CUDA op).
+    """
+    b, n, _ = points.shape
+    if valid is None:
+        valid = jnp.ones((b, n), bool)
+
+    def per_sample(pts, val):
+        start = jnp.argmax(val)  # first valid index (CUDA op starts at 0)
+
+        def body(i, state):
+            dists, idxs = state
+            last = pts[idxs[i - 1]]
+            d = jnp.sum((pts - last) ** 2, -1)
+            dists = jnp.minimum(dists, d)
+            masked = jnp.where(val, dists, -1.0)
+            nxt = jnp.argmax(masked)
+            return dists, idxs.at[i].set(nxt)
+
+        dists0 = jnp.full((n,), _BIG)
+        idxs0 = jnp.zeros((num_samples,), jnp.int32).at[0].set(start.astype(jnp.int32))
+        _, idxs = jax.lax.fori_loop(1, num_samples, body, (dists0, idxs0))
+        return idxs
+
+    return jax.vmap(per_sample)(points, valid)
+
+
+def ball_query(centers, points, radius, nsample, valid=None):
+    """Fixed-radius neighbor query (reference `ball_query_ext`): up to
+    `nsample` neighbor indices per center, in ascending point-index order,
+    padded by repeating the first found neighbor (CUDA op convention).
+
+    Args:
+        centers: [B, M, 3]; points: [B, N, 3]; valid: [B, N] bool.
+
+    Returns:
+        idx: [B, M, nsample] int32.
+    """
+    b, n, _ = points.shape
+    if valid is None:
+        valid = jnp.ones((b, n), bool)
+    d2 = _sqdist(centers, points)  # [B, M, N]
+    ok = (d2 < radius * radius) & valid[:, None, :]
+    order_score = jnp.where(ok, jnp.arange(n)[None, None, :], n)
+    picked = jnp.sort(order_score, axis=-1)[..., :nsample]  # ascending index
+    first = picked[..., :1]
+    idx = jnp.where(picked >= n, first, picked)
+    # centers with zero neighbors: fall back to index 0 (matches CUDA output
+    # of an untouched buffer; callers mask such centers out by distance)
+    idx = jnp.where(first >= n, 0, idx)
+    return idx.astype(jnp.int32)
+
+
+def gather_points(points, idx):
+    """[B, N, C] gathered at [B, M] -> [B, M, C]."""
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points, idx):
+    """[B, N, C] grouped by [B, M, K] -> [B, M, K, C]."""
+    b, m, k = idx.shape
+    flat = idx.reshape(b, m * k).astype(jnp.int32)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(b, m, k, -1)
+
+
+def knn(query, points, k, valid=None):
+    """k nearest neighbors: [B, M, 3] in [B, N, 3] -> idx [B, M, k]."""
+    d2 = _sqdist(query, points)
+    if valid is not None:
+        d2 = jnp.where(valid[:, None, :], d2, _BIG)
+    idx = jnp.argsort(d2, axis=-1)[..., :k]
+    return idx.astype(jnp.int32)
+
+
+def three_nn(query, points, valid=None):
+    """3 nearest neighbors with distances (reference `three_nn`).
+
+    Returns:
+        (dist [B, M, 3], idx [B, M, 3]).
+    """
+    d2 = _sqdist(query, points)
+    if valid is not None:
+        d2 = jnp.where(valid[:, None, :], d2, _BIG)
+    idx = jnp.argsort(d2, axis=-1)[..., :3]
+    d = jnp.take_along_axis(d2, idx, axis=-1)
+    return jnp.sqrt(jnp.maximum(d, 1e-12)), idx.astype(jnp.int32)
+
+
+def three_interpolate(features, idx, dist):
+    """Inverse-distance-weighted 3-NN interpolation (reference
+    `three_interpolate`): features [B, N, C], idx/dist [B, M, 3] -> [B, M, C].
+    """
+    w = 1.0 / jnp.maximum(dist * dist, 1e-8)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    g = group_points(features, idx)  # [B, M, 3, C]
+    return jnp.sum(g * w[..., None], axis=2)

@@ -142,6 +142,26 @@ def _gather_gemm_bwd(n_chunks, res, dout):
 gather_gemm.defvjp(_gather_gemm_fwd, _gather_gemm_bwd)
 
 
+def conv_plan(
+    st: SparseTensor,
+    kernel_size: int,
+    stride: int = 1,
+    out_budget: Optional[int] = None,
+):
+    """Precompute a convolution's (out_coords, out_keys, idx) so the kernel
+    map can be shared by every conv on the same coordinate map (e.g. all
+    stride-1 convs of a ResNet stage) — kernel-map construction dominates
+    conv cost on TPU, so reuse is a large win."""
+    offs = kernel_offsets(kernel_size, st.stride)
+    if stride == 1:
+        out_coords, out_keys = st.coords, st.keys
+    else:
+        budget = out_budget if out_budget is not None else st.capacity
+        out_coords, out_keys = downsample_coords(st, stride, budget)
+    idx = build_kernel_map(st.keys, out_coords, offs)
+    return out_coords, out_keys, idx
+
+
 def sparse_conv(
     st: SparseTensor,
     weight: jnp.ndarray,
@@ -150,6 +170,7 @@ def sparse_conv(
     bias: Optional[jnp.ndarray] = None,
     out_budget: Optional[int] = None,
     n_chunks: int = 3,
+    plan=None,
 ) -> SparseTensor:
     """Sparse convolution (ME `MinkowskiConvolution` semantics).
 
@@ -160,21 +181,20 @@ def sparse_conv(
         weight: [K, Cin, Cout] with K = kernel_size**3.
         out_budget: row capacity of the strided output map (required when
             stride > 1); defaults to the input capacity.
+        plan: optional precomputed `conv_plan` output (must match
+            kernel_size/stride/budget).
     """
-    offs = kernel_offsets(kernel_size, st.stride)
-    if stride == 1:
-        out_coords, out_keys = st.coords, st.keys
-        new_stride = st.stride
-    else:
-        budget = out_budget if out_budget is not None else st.capacity
-        out_coords, out_keys = downsample_coords(st, stride, budget)
-        new_stride = st.stride * stride
+    new_stride = st.stride * stride
     if kernel_size == 1 and stride == 1:
+        out_coords, out_keys = st.coords, st.keys
         out = jnp.einsum(
             "bnc,cd->bnd", st.feats, weight[0], preferred_element_type=st.feats.dtype
         )
     else:
-        idx = build_kernel_map(st.keys, out_coords, offs)
+        if plan is not None:
+            out_coords, out_keys, idx = plan
+        else:
+            out_coords, out_keys, idx = conv_plan(st, kernel_size, stride, out_budget)
         out = gather_gemm(st.feats, idx, weight, n_chunks)
     if bias is not None:
         out = out + bias

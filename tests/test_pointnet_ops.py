@@ -1,0 +1,76 @@
+"""PointNet++ op tests vs numpy brute-force oracles."""
+import jax.numpy as jnp
+import numpy as np
+
+from fcaf3d_tpu.ops.pointnet import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    knn,
+    three_interpolate,
+    three_nn,
+)
+
+
+def test_fps_spreads_points():
+    # two well-separated clusters: FPS with k=2 must pick one from each
+    rng = np.random.RandomState(0)
+    a = rng.randn(10, 3) * 0.1
+    b = rng.randn(10, 3) * 0.1 + 10.0
+    pts = jnp.asarray(np.concatenate([a, b])[None].astype(np.float32))
+    idx = np.asarray(furthest_point_sample(pts, 2))[0]
+    assert (idx[0] < 10) != (idx[1] < 10)
+
+
+def test_fps_starts_at_first_valid():
+    pts = jnp.asarray(np.random.RandomState(0).randn(1, 8, 3).astype(np.float32))
+    valid = jnp.asarray(np.array([[False, False, True, True, True, True, True, True]]))
+    idx = np.asarray(furthest_point_sample(pts, 4, valid))[0]
+    assert idx[0] == 2
+    assert all(i >= 2 for i in idx)
+
+
+def test_ball_query_radius_and_padding():
+    pts = jnp.asarray(
+        np.array([[[0, 0, 0], [0.1, 0, 0], [5, 5, 5], [0.05, 0.05, 0]]], np.float32)
+    )
+    centers = jnp.asarray(np.array([[[0, 0, 0]]], np.float32))
+    idx = np.asarray(ball_query(centers, pts, radius=0.3, nsample=4))[0, 0]
+    # neighbors are 0, 1, 3 (ascending index), padded with first (0)
+    assert idx.tolist() == [0, 1, 3, 0]
+
+
+def test_group_and_gather():
+    feats = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 4, 3))
+    idx = jnp.asarray(np.array([[2, 0]], np.int32))
+    g = np.asarray(gather_points(feats, idx))
+    np.testing.assert_array_equal(g[0, 0], [6, 7, 8])
+    idx2 = jnp.asarray(np.array([[[1, 1], [3, 0]]], np.int32))
+    g2 = np.asarray(group_points(feats, idx2))
+    np.testing.assert_array_equal(g2[0, 1, 0], [9, 10, 11])
+
+
+def test_knn_and_three_nn():
+    rng = np.random.RandomState(1)
+    pts = rng.randn(1, 30, 3).astype(np.float32)
+    q = rng.randn(1, 5, 3).astype(np.float32)
+    idx = np.asarray(knn(jnp.asarray(q), jnp.asarray(pts), 3))
+    d_all = np.linalg.norm(q[0][:, None] - pts[0][None], axis=-1)
+    expect = np.argsort(d_all, axis=-1)[:, :3]
+    np.testing.assert_array_equal(np.sort(idx[0]), np.sort(expect))
+
+    dist, idx3 = three_nn(jnp.asarray(q), jnp.asarray(pts))
+    np.testing.assert_allclose(
+        np.asarray(dist)[0], np.sort(d_all, axis=-1)[:, :3], atol=1e-5
+    )
+
+
+def test_three_interpolate_exact_hit():
+    pts = jnp.asarray(np.array([[[0, 0, 0], [1, 0, 0], [2, 0, 0]]], np.float32))
+    feats = jnp.asarray(np.array([[[1.0], [2.0], [3.0]]], np.float32))
+    q = jnp.asarray(np.array([[[1.0, 0, 0], [0.5, 0, 0]]], np.float32))
+    dist, idx = three_nn(q, pts)
+    out = np.asarray(three_interpolate(feats, idx, dist))
+    np.testing.assert_allclose(out[0, 0, 0], 2.0, atol=1e-3)  # exact hit
+    assert 1.0 < out[0, 1, 0] < 2.0  # between points 0 and 1

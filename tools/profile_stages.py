@@ -54,9 +54,18 @@ def main():
     # warm D2H path early
     float(jnp.sum(pts))
 
+    from fcaf3d_tpu.models import FCAF3D
+
+    model = FCAF3D(cfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, cols, valid)
+    bench("FULL forward (no NMS)",
+          lambda v, a, c, m: model.apply(v, a, c, m, train=False),
+          variables, pts, cols, valid)
+
     vox = lambda a, c, v: voxelize(a, c, v, cfg.voxel_size, cfg.input_budget)
     bench("voxelize", vox, pts, cols, valid)
     st = jax.jit(vox)(pts, cols, valid)
+    st = st.with_feats(st.feats.astype(cfg.compute_dtype))
 
     backbone = MEResNet3D(depth=cfg.depth, n_outs=cfg.n_outs, budgets=cfg.backbone_budgets)
     vars_b = jax.jit(backbone.init)(jax.random.PRNGKey(0), st)
