@@ -62,17 +62,34 @@ def main():
     pts, colors = jnp.asarray(pts), jnp.asarray(colors)
     valid = jnp.ones((b, p), bool)
 
+    from fcaf3d_tpu.models import fcaf3d_get_bboxes, infer_config
+
+    tcfg = infer_config(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, colors, valid)
-    fwd = jax.jit(lambda v, a, c, m: model.apply(v, a, c, m, train=False))
 
-    for _ in range(args.warmup):
-        outs = fwd(variables, pts, colors, valid)
-    jax.block_until_ready(outs)
+    # full inference pipeline incl. NMS, matching the reference's
+    # tools/analysis_tools/benchmark.py protocol (model(return_loss=False))
+    def run(v, a, c, m):
+        outs = model.apply(v, a, c, m, train=False)
+        return fcaf3d_get_bboxes(outs, tcfg)
 
+    fwd = jax.jit(run)
+
+    # serialized timing: run `iters` inferences inside one lax.scan with a
+    # data dependency between iterations — immune to async-dispatch and
+    # loop-invariant hoisting artifacts on the tunneled TPU backend
+    def many(v, a, c, m):
+        def body(carry, _):
+            dets = run(v, a + carry * 1e-30, c, m)
+            return carry + jnp.sum(dets.scores), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=args.iters)
+        return out
+
+    jmany = jax.jit(many)
+    float(jmany(variables, pts, colors, valid))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        outs = fwd(variables, pts, colors, valid)
-    jax.block_until_ready(outs)
+    float(jmany(variables, pts, colors, valid))
     dt = time.perf_counter() - t0
 
     scenes_per_sec = args.iters * b / dt

@@ -73,9 +73,13 @@ class SparseConv(nn.Module):
 
 
 class SparseGenerativeTranspose(nn.Module):
-    """MinkowskiGenerativeConvolutionTranspose(kernel=2, stride=2)."""
+    """MinkowskiGenerativeConvolutionTranspose(kernel=2, stride=2).
+
+    With `sort_output=False` the child map stays parent-major so consumers
+    can use the analytic `gen_conv_plan` kernel map (no binary search)."""
 
     out_channels: int
+    sort_output: bool = True
     kernel_init: Callable = _kaiming_kernel_init
 
     @nn.compact
@@ -83,7 +87,9 @@ class SparseGenerativeTranspose(nn.Module):
         w = self.param(
             "kernel", self.kernel_init, (8, st.num_channels, self.out_channels)
         )
-        return generative_transpose_conv2x2(st, w.astype(st.feats.dtype))
+        return generative_transpose_conv2x2(
+            st, w.astype(st.feats.dtype), sort_output=self.sort_output
+        )
 
 
 class SparseBatchNorm(nn.Module):

@@ -30,7 +30,12 @@ import numpy as np
 from flax import linen as nn
 
 from ..core.nms import nms_bev
-from ..ops.sparse.conv import interpolate_at, sparse_prune, sparse_union_add
+from ..ops.sparse.conv import (
+    gen_conv_plan,
+    interpolate_at,
+    sparse_prune,
+    sparse_union_add,
+)
 from ..ops.sparse.tensor import SparseTensor
 from .assigner import fcaf3d_assign
 from .blocks import (
@@ -78,13 +83,17 @@ class Fcaf3DNeckWithHead(nn.Module):
 
     def _up_block(self, i, out_ch):
         """MinkowskiGenerativeConvolutionTranspose k2 s2 + BN + ELU + conv3 +
-        BN + ELU (`_make_up_block`, reference `:57-72`)."""
+        BN + ELU (`_make_up_block`, reference `:57-72`). The generated map is
+        kept parent-major so the conv3 uses the analytic kernel map."""
 
-        def apply(x, train):
-            x = SparseGenerativeTranspose(out_ch, name=f"up_block_{i}_tr")(x)
+        def apply(parent, train):
+            x = SparseGenerativeTranspose(
+                out_ch, sort_output=False, name=f"up_block_{i}_tr"
+            )(parent)
+            plan = gen_conv_plan(parent, x)
             x = SparseBatchNorm(name=f"up_block_{i}_bn1")(x, train)
             x = sparse_elu(x)
-            x = SparseConv(out_ch, 3, name=f"up_block_{i}_conv")(x)
+            x = SparseConv(out_ch, 3, name=f"up_block_{i}_conv")(x, plan=plan)
             x = SparseBatchNorm(name=f"up_block_{i}_bn2")(x, train)
             return sparse_elu(x)
 

@@ -9,7 +9,9 @@ from .tensor import (  # noqa: F401
 )
 from .conv import (  # noqa: F401
     build_kernel_map,
+    conv_plan,
     gather_gemm,
+    gen_conv_plan,
     generative_transpose_conv2x2,
     interpolate_at,
     kernel_offsets,

@@ -47,9 +47,13 @@ class SparseTensor:
 
     coords: jnp.ndarray  # [B, N, 3] int32
     feats: jnp.ndarray  # [B, N, C]
-    keys: jnp.ndarray  # [B, N] uint32, ascending per sample
+    keys: jnp.ndarray  # [B, N] uint32, ascending per sample (if sorted)
     shift: jnp.ndarray  # [B, 3] int32; original_voxel = coords - shift
     stride: int = struct.field(pytree_node=False, default=1)
+    # generated child maps can stay in parent-major order (analytic kernel
+    # maps don't need binary search); such tensors must not be used with
+    # `lookup` until re-sorted (e.g. by sparse_union_add)
+    is_sorted: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def batch_size(self) -> int:

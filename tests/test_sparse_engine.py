@@ -279,3 +279,36 @@ def test_gather_gemm_gradients():
         f_m = f.at[idx].add(-eps)
         num = (loss_fn(w, f_p) - loss_fn(w, f_m)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g_f[idx]), np.asarray(num), rtol=2e-2, atol=1e-3)
+
+
+def test_gen_conv_plan_matches_generic_kmap():
+    """conv3 on a parent-major generated map with the analytic kernel map
+    must equal conv3 on the sorted generated map with the generic kmap."""
+    from fcaf3d_tpu.ops.sparse import gen_conv_plan
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    parents = rng.choice(5 * 5 * 5, size=12, replace=False)
+    pc = np.stack(np.unravel_index(parents, (5, 5, 5)), 1).astype(np.int32) * 2
+    pf = rng.randn(12, 3).astype(np.float32)
+    parent = make_sparse([pc], [pf], capacity=16, stride=2, channels=3)
+
+    wt = jnp.asarray(rng.randn(8, 3, 4).astype(np.float32))
+    gen_unsorted = generative_transpose_conv2x2(parent, wt, sort_output=False)
+    gen_sorted = generative_transpose_conv2x2(parent, wt, sort_output=True)
+
+    w3 = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32) * 0.2)
+    plan = gen_conv_plan(parent, gen_unsorted)
+    out_a = sparse_conv(gen_unsorted, w3, 3, plan=plan)
+    out_b = sparse_conv(gen_sorted, w3, 3)
+
+    # compare by coordinate
+    def collect(stl):
+        coords = np.asarray(stl.coords)[0][np.asarray(stl.valid)[0]]
+        feats = np.asarray(stl.feats)[0][np.asarray(stl.valid)[0]]
+        return {tuple(c): f for c, f in zip(coords.tolist(), feats)}
+
+    da, db = collect(out_a), collect(out_b)
+    assert set(da) == set(db) and len(da) == 12 * 8
+    for k in da:
+        np.testing.assert_allclose(da[k], db[k], atol=1e-4)

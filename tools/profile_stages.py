@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Per-stage timing of the FCAF3D forward (serialized scan timing).
+"""Per-stage timing of the FCAF3D forward (hoisting-proof chained timing).
 
-Each stage is timed as `lax.scan` of `iters` applications inside one jit,
-with results folded into a scalar carry — immune to async-dispatch
-mismeasurement on remote backends.
+Each stage runs `iters` times inside one jitted lax.scan where the carry
+perturbs the next iteration's *input* (x + carry*1e-30), so XLA cannot
+hoist the body out of the loop, and async dispatch cannot skew wall time.
 """
 import os
 import sys
@@ -23,6 +23,7 @@ def main():
     setup_compilation_cache()
 
     from fcaf3d_tpu.configs import fcaf3d_scannet
+    from fcaf3d_tpu.models import FCAF3D
     from fcaf3d_tpu.models.detector import infer_config
     from fcaf3d_tpu.models.fcaf3d_head import Fcaf3DNeckWithHead, fcaf3d_get_bboxes
     from fcaf3d_tpu.models.me_resnet import MEResNet3D
@@ -35,15 +36,31 @@ def main():
     cols = jnp.asarray(rng.uniform(0, 1, (b, p, 3)).astype(np.float32))
     valid = jnp.ones((b, p), bool)
 
-    def bench(name, fn, *args, iters=10):
+    def bench(name, fn, *args, iters=8):
+        """fn's FIRST arg must be a float array (or SparseTensor) that the
+        chained carry can perturb."""
+        def perturb(x, c):
+            return jax.tree_util.tree_map(
+                lambda l: l + c.astype(l.dtype) * 1e-30
+                if jnp.issubdtype(l.dtype, jnp.floating)
+                else l,
+                x,
+            )
+
         def many(*a):
             def body(c, _):
-                r = fn(*a)
+                r = fn(perturb(a[0], c), *a[1:])
                 leaves = jax.tree_util.tree_leaves(r)
-                s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-                return c + s, None
+                s = sum(
+                    jnp.sum(l).astype(jnp.float32)
+                    for l in leaves
+                    if jnp.issubdtype(l.dtype, jnp.floating)
+                )
+                return c + s * 1e-30 + 1e-6, None
+
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return c
+
         jm = jax.jit(many)
         float(jm(*args))
         t0 = time.perf_counter()
@@ -51,16 +68,19 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:36s} {dt * 1000:9.2f} ms", flush=True)
 
-    # warm D2H path early
-    float(jnp.sum(pts))
-
-    from fcaf3d_tpu.models import FCAF3D
+    float(jnp.sum(pts))  # warm the D2H path
 
     model = FCAF3D(cfg)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, cols, valid)
     bench("FULL forward (no NMS)",
-          lambda v, a, c, m: model.apply(v, a, c, m, train=False),
-          variables, pts, cols, valid)
+          lambda a, v, c, m: model.apply(v, a, c, m, train=False),
+          pts, variables, cols, valid)
+
+    tcfg = infer_config(cfg)
+    bench("FULL forward + NMS",
+          lambda a, v, c, m: fcaf3d_get_bboxes(
+              model.apply(v, a, c, m, train=False), tcfg),
+          pts, variables, cols, valid)
 
     vox = lambda a, c, v: voxelize(a, c, v, cfg.voxel_size, cfg.input_budget)
     bench("voxelize", vox, pts, cols, valid)
@@ -69,7 +89,7 @@ def main():
 
     backbone = MEResNet3D(depth=cfg.depth, n_outs=cfg.n_outs, budgets=cfg.backbone_budgets)
     vars_b = jax.jit(backbone.init)(jax.random.PRNGKey(0), st)
-    bench("backbone (all)", backbone.apply, vars_b, st)
+    bench("backbone (all)", lambda s, v: backbone.apply(v, s), st, vars_b)
     outs = jax.jit(backbone.apply)(vars_b, st)
 
     head = Fcaf3DNeckWithHead(
@@ -77,42 +97,51 @@ def main():
         voxel_size=cfg.voxel_size, neck_budgets=cfg.neck_budgets,
     )
     vars_h = jax.jit(head.init)(jax.random.PRNGKey(0), outs)
-    bench("neck+head (all)", head.apply, vars_h, outs)
+    bench("neck+head (all)", lambda s4, v, rest: head.apply(v, (rest[0], rest[1], rest[2], s4)),
+          outs[3], vars_h, outs[:3])
     ho = jax.jit(head.apply)(vars_h, outs)
 
-    tcfg = infer_config(cfg)
-    bench("get_bboxes (NMS)", lambda o: fcaf3d_get_bboxes(o, tcfg), ho, iters=3)
+    bench("get_bboxes (NMS)", lambda o: fcaf3d_get_bboxes(o, tcfg), ho)
 
     from fcaf3d_tpu.ops.sparse import (
-        build_kernel_map, generative_transpose_conv2x2, interpolate_at,
-        kernel_offsets, sparse_conv, sparse_max_pool, sparse_prune,
-        sparse_union_add,
+        build_kernel_map, conv_plan, gen_conv_plan,
+        generative_transpose_conv2x2, interpolate_at, kernel_offsets,
+        sparse_conv, sparse_max_pool, sparse_prune, sparse_union_add,
     )
 
-    w1 = jnp.asarray(rng.randn(27, 3, 64).astype(np.float32) * 0.1)
+    dt = cfg.compute_dtype
+    w1 = jnp.asarray(rng.randn(27, 3, 64).astype(np.float32) * 0.1, dt)
     bench("conv1 k3s2 (3->64, 98k->64k)",
           lambda s, w: sparse_conv(s, w, 3, 2, out_budget=cfg.backbone_budgets[0]), st, w1)
     st2 = jax.jit(lambda s, w: sparse_conv(s, w, 3, 2, out_budget=cfg.backbone_budgets[0]))(st, w1)
     bench("maxpool k2s2 (64k->32k)",
           lambda s: sparse_max_pool(s, 2, 2, out_budget=cfg.backbone_budgets[1]), st2)
     st4 = jax.jit(lambda s: sparse_max_pool(s, 2, 2, out_budget=cfg.backbone_budgets[1]))(st2)
-    w2 = jnp.asarray(rng.randn(27, 64, 64).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.randn(27, 64, 64).astype(np.float32) * 0.05, dt)
     bench("conv k3s2 (64ch, 32k->24k)",
           lambda s, w: sparse_conv(s, w, 3, 2, out_budget=cfg.backbone_budgets[2]), st4, w2)
     st8 = jax.jit(lambda s, w: sparse_conv(s, w, 3, 2, out_budget=cfg.backbone_budgets[2]))(st4, w2)
     bench("conv k3s1 (64ch, 24k rows)", lambda s, w: sparse_conv(s, w, 3, 1), st8, w2)
+    plan8 = jax.jit(lambda s: conv_plan(s, 3, 1))(st8)
+    bench("conv k3s1 24k with plan",
+          lambda s, w, pl: sparse_conv(s, w, 3, 1, plan=pl), st8, w2, plan8)
     bench("kmap only (24k x 27)",
           lambda s: build_kernel_map(s.keys, s.coords, kernel_offsets(3, s.stride)), st8)
 
-    w16 = jnp.asarray(rng.randn(27, 64, 128).astype(np.float32) * 0.05)
+    w16 = jnp.asarray(rng.randn(27, 64, 128).astype(np.float32) * 0.05, dt)
     st16 = jax.jit(lambda s, w: sparse_conv(s, w, 3, 2, out_budget=cfg.backbone_budgets[3]))(st8, w16)
-    wt = jnp.asarray(rng.randn(8, 128, 64).astype(np.float32) * 0.05)
-    bench("gen transpose (8k->65k)", generative_transpose_conv2x2, st16, wt)
-    gen = jax.jit(generative_transpose_conv2x2)(st16, wt)
-    w3 = jnp.asarray(rng.randn(27, 64, 64).astype(np.float32) * 0.05)
-    bench("conv k3s1 (64ch, 65k rows)", lambda s, w: sparse_conv(s, w, 3, 1), gen, w3)
-    bench("union add (65k+24k)", sparse_union_add, gen, st8)
-    added = jax.jit(sparse_union_add)(gen, st8)
+    wt = jnp.asarray(rng.randn(8, 128, 64).astype(np.float32) * 0.05, dt)
+    bench("gen transpose (8k->65k)",
+          lambda s, w: generative_transpose_conv2x2(s, w, sort_output=False), st16, wt)
+    gen = jax.jit(lambda s, w: generative_transpose_conv2x2(s, w, sort_output=False))(st16, wt)
+    w3 = jnp.asarray(rng.randn(27, 64, 64).astype(np.float32) * 0.05, dt)
+    genplan = jax.jit(gen_conv_plan)(st16, gen)
+    bench("conv k3s1 65k ANALYTIC plan",
+          lambda s, w, pl: sparse_conv(s, w, 3, 1, plan=pl), gen, w3, genplan)
+    gen_sorted = jax.jit(lambda s, w: generative_transpose_conv2x2(s, w, sort_output=True))(st16, wt)
+    bench("conv k3s1 65k generic kmap", lambda s, w: sparse_conv(s, w, 3, 1), gen_sorted, w3)
+    bench("union add (65k+24k)", sparse_union_add, gen_sorted, st8)
+    added = jax.jit(sparse_union_add)(gen_sorted, st8)
     sc = jnp.asarray(rng.randn(1, st16.capacity, 1).astype(np.float32))
     bench("interp+prune (89k->32k)",
           lambda a, s16, s: sparse_prune(
