@@ -1,0 +1,106 @@
+"""Checkpoint converter: reference-named state_dict -> framework trees."""
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "tools")
+
+from convert_checkpoint import convert, me_offset_permutation  # noqa: E402
+
+from fcaf3d_tpu.configs import fcaf3d_tiny  # noqa: E402
+
+
+def make_reference_state_dict(n_classes=4, n_reg=6, layers=(3, 4, 6, 3)):
+    """Synthesize a state_dict with the reference's exact module names and
+    MinkowskiEngine tensor shapes (kernels [K^3, Cin, Cout])."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, k, cin, cout):
+        sd[name] = rng.randn(k, cin, cout).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = np.ones(c, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    conv("backbone.conv1.0.kernel", 27, 3, 64)
+    sd["backbone.conv1.1.weight"] = np.ones(64, np.float32)
+    sd["backbone.conv1.1.bias"] = np.zeros(64, np.float32)
+
+    planes = (64, 128, 256, 512)
+    inplanes = 64
+    for i, n_blocks in enumerate(layers):
+        for j in range(n_blocks):
+            cin = inplanes if j == 0 else planes[i]
+            src = f"backbone.layer{i + 1}.{j}"
+            conv(f"{src}.conv1.kernel", 27, cin, planes[i])
+            bn(f"{src}.norm1", planes[i])
+            conv(f"{src}.conv2.kernel", 27, planes[i], planes[i])
+            bn(f"{src}.norm2", planes[i])
+            if j == 0:
+                conv(f"{src}.downsample.0.kernel", 1, cin, planes[i])
+                bn(f"{src}.downsample.1.bn", planes[i])
+        inplanes = planes[i]
+
+    h = "neck_with_head"
+    in_ch = (64, 128, 256, 512)
+    for i in range(1, 4):
+        conv(f"{h}.up_block_{i}.0.kernel", 8, in_ch[i], in_ch[i - 1])
+        bn(f"{h}.up_block_{i}.1.bn", in_ch[i - 1])
+        conv(f"{h}.up_block_{i}.3.kernel", 27, in_ch[i - 1], in_ch[i - 1])
+        bn(f"{h}.up_block_{i}.4.bn", in_ch[i - 1])
+    for i in range(4):
+        conv(f"{h}.out_block_{i}.0.kernel", 27, in_ch[i], 128)
+        bn(f"{h}.out_block_{i}.1.bn", 128)
+    conv(f"{h}.centerness_conv.kernel", 1, 128, 1)
+    conv(f"{h}.reg_conv.kernel", 1, 128, n_reg)
+    conv(f"{h}.cls_conv.kernel", 1, 128, n_classes)
+    sd[f"{h}.cls_conv.bias"] = np.zeros(n_classes, np.float32)
+    for i in range(4):
+        sd[f"{h}.scales.{i}.scale"] = np.ones(1, np.float32)
+    return sd
+
+
+def test_offset_permutation_roundtrip():
+    p = me_offset_permutation(3, "x_fastest")
+    assert sorted(p.tolist()) == list(range(27))
+    # center offset maps to center
+    assert p[13] == 13
+    # x-slowest order is identity
+    np.testing.assert_array_equal(me_offset_permutation(3, "x_slowest"), np.arange(27))
+
+
+def test_convert_matches_model_tree():
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.models import FCAF3D
+
+    cfg = fcaf3d_tiny()  # depth 34, 4 classes, full channel widths
+    model = FCAF3D(cfg)
+    b, p = 1, cfg.num_points
+    zeros = jnp.zeros((b, p, 3), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), zeros, zeros, jnp.ones((b, p), bool)
+    )
+
+    sd = make_reference_state_dict(n_classes=cfg.n_classes, n_reg=cfg.n_reg_outs)
+    out = convert(sd)
+
+    expect_p = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
+    got_p = jax.tree_util.tree_map(lambda x: x.shape, out["params"])
+    assert expect_p == got_p
+    expect_s = jax.tree_util.tree_map(lambda x: x.shape, variables["batch_stats"])
+    got_s = jax.tree_util.tree_map(lambda x: x.shape, out["batch_stats"])
+    assert expect_s == got_s
+
+    # converted params run through the model
+    outs = jax.jit(lambda v, a, c, m: model.apply(v, a, c, m))(
+        {"params": jax.tree_util.tree_map(jnp.asarray, out["params"]),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, out["batch_stats"])},
+        zeros + 1.0, zeros + 100.0, jnp.ones((b, p), bool),
+    )
+    assert np.all(np.isfinite(np.asarray(outs[0].cls_scores)))

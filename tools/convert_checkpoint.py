@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Convert a reference FCAF3D torch checkpoint (.pth) to framework params.
+
+Maps the reference's module names (`SingleStageSparse3DDetector` with
+`MEResNet3D` + `Fcaf3DNeckWithHead`, MinkowskiEngine kernels of shape
+[K^3, Cin, Cout]) onto this framework's flax param/batch_stats trees, and
+reorders kernel offsets from ME's region enumeration into this framework's
+`kernel_offsets` order (itertools.product, x slowest).
+
+ME's hypercube region iterates the FIRST coordinate fastest (odometer over
+dims in order), i.e. x fastest — the exact inverse of our ordering — so the
+permutation is a transpose of the (3,3,3) offset grid. Verify converted
+checkpoints by mAP before trusting them (`--offset-order` overrides).
+
+Usage:
+    python tools/convert_checkpoint.py --pth epoch_12.pth --out params.pkl \
+        --dataset scannet
+"""
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def me_offset_permutation(kernel_size: int, order: str = "x_fastest"):
+    """Permutation p with ours[i] = theirs[p[i]] for K^3 offsets."""
+    k = kernel_size
+    n = k ** 3
+    if order == "x_slowest":  # already ours
+        return np.arange(n)
+    # ME x-fastest: index = x + k*y + k*k*z ; ours: z + k*y + k*k*x
+    ours = np.arange(n)
+    x, rem = ours // (k * k), ours % (k * k)
+    y, z = rem // k, rem % k
+    return z + k * y + k * k * x
+
+
+def convert(state_dict: dict, n_resnet_layers=(3, 4, 6, 3), n_levels: int = 4,
+            offset_order: str = "x_fastest"):
+    """Returns {"params": tree, "batch_stats": tree} (nested dicts)."""
+
+    def t2n(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    sd = {k: t2n(v) for k, v in state_dict.items()}
+    p27 = me_offset_permutation(3, offset_order)
+    p8 = me_offset_permutation(2, offset_order)
+
+    params, stats = {}, {}
+
+    def put(tree, path, value):
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = value
+
+    def conv_kernel(src, perm):
+        w = sd[src]
+        assert w.ndim == 3, (src, w.shape)
+        if w.shape[0] in (8, 27):
+            w = w[perm if w.shape[0] == 27 else p8]
+        return w.astype(np.float32)
+
+    def bn(src_prefix, dst_path):
+        put(params, dst_path + ("scale",), sd[f"{src_prefix}.weight"])
+        put(params, dst_path + ("bias",), sd[f"{src_prefix}.bias"])
+        put(stats, dst_path + ("mean",), sd[f"{src_prefix}.running_mean"])
+        put(stats, dst_path + ("var",), sd[f"{src_prefix}.running_var"])
+
+    # ---- backbone stem: conv1 Sequential(conv, InstanceNorm, ReLU, pool)
+    put(params, ("backbone", "conv1", "kernel"),
+        conv_kernel("backbone.conv1.0.kernel", p27))
+    put(params, ("backbone", "norm1", "scale"), sd["backbone.conv1.1.weight"])
+    put(params, ("backbone", "norm1", "bias"), sd["backbone.conv1.1.bias"])
+
+    # ---- backbone stages
+    for i, n_blocks in enumerate(n_resnet_layers[:n_levels]):
+        for j in range(n_blocks):
+            src = f"backbone.layer{i + 1}.{j}"
+            dst = ("backbone", f"layer{i + 1}_{j}")
+            put(params, dst + ("conv1", "kernel"),
+                conv_kernel(f"{src}.conv1.kernel", p27))
+            bn(f"{src}.norm1", dst + ("norm1",))
+            put(params, dst + ("conv2", "kernel"),
+                conv_kernel(f"{src}.conv2.kernel", p27))
+            bn(f"{src}.norm2", dst + ("norm2",))
+            if f"{src}.downsample.0.kernel" in sd:
+                put(params, dst + ("downsample_conv", "kernel"),
+                    conv_kernel(f"{src}.downsample.0.kernel", p27))
+                bn(f"{src}.downsample.1.bn", dst + ("downsample_norm",))
+
+    # ---- neck
+    h = "neck_with_head"
+    for i in range(1, n_levels):
+        src = f"{h}.up_block_{i}"
+        dst = ("neck_with_head",)
+        put(params, dst + (f"up_block_{i}_tr", "kernel"),
+            conv_kernel(f"{src}.0.kernel", p27))
+        bn(f"{src}.1.bn", dst + (f"up_block_{i}_bn1",))
+        put(params, dst + (f"up_block_{i}_conv", "kernel"),
+            conv_kernel(f"{src}.3.kernel", p27))
+        bn(f"{src}.4.bn", dst + (f"up_block_{i}_bn2",))
+    for i in range(n_levels):
+        src = f"{h}.out_block_{i}"
+        put(params, ("neck_with_head", f"out_block_{i}_conv", "kernel"),
+            conv_kernel(f"{src}.0.kernel", p27))
+        bn(f"{src}.1.bn", ("neck_with_head", f"out_block_{i}_bn"))
+
+    # ---- head convs + per-level scales
+    for name in ("centerness_conv", "reg_conv", "cls_conv"):
+        put(params, ("neck_with_head", name, "kernel"),
+            conv_kernel(f"{h}.{name}.kernel", p27))
+    put(params, ("neck_with_head", "cls_conv", "bias"), sd[f"{h}.cls_conv.bias"])
+    for i in range(n_levels):
+        put(params, ("neck_with_head", f"scale_{i}"),
+            sd[f"{h}.scales.{i}.scale"].reshape(()))
+
+    return {"params": params, "batch_stats": stats}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pth", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--depth", type=int, default=34)
+    ap.add_argument("--n-levels", type=int, default=4)
+    ap.add_argument("--offset-order", default="x_fastest",
+                    choices=["x_fastest", "x_slowest"])
+    args = ap.parse_args()
+
+    import torch
+
+    ckpt = torch.load(args.pth, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    layers = {14: (1, 1, 1, 1), 18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[args.depth]
+    out = convert(sd, layers, args.n_levels, args.offset_order)
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    n = len([None for _ in _iter_leaves(out["params"])])
+    print(f"wrote {args.out} ({n} param tensors)")
+
+
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
+if __name__ == "__main__":
+    main()
