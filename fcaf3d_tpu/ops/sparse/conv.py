@@ -66,8 +66,11 @@ def build_kernel_map(
     """Neighbor index table [B, M, K]; value N (=in capacity) means miss."""
     queries = out_coords[:, :, None, :] + jnp.asarray(offsets)[None, None, :, :]
     qkeys = encode_coords(queries)
-    # out-of-budget output rows carry EXTENT coords -> OOB queries -> SENTINEL
-    return lookup(in_keys, qkeys)
+    # out-of-budget output rows carry EXTENT coords -> OOB queries -> SENTINEL.
+    # offset-major layout: each [M] segment is ascending (constant key shift
+    # of the sorted out keys), which the TPU search kernel exploits.
+    idx = lookup(in_keys, jnp.swapaxes(qkeys, 1, 2), segments=True)
+    return jnp.swapaxes(idx, 1, 2)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

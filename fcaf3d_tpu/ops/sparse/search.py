@@ -1,0 +1,163 @@
+"""TPU Pallas searchsorted for kernel-map construction.
+
+XLA's `searchsorted` costs ~150ns/query on TPU (17 serial gather rounds);
+kernel-map building (millions of queries per conv) dominated the FCAF3D
+forward. This kernel exploits that kmap queries arrive in *nearly-sorted
+segments* (each kernel offset shifts the sorted output keys by a constant):
+
+1. XLA precomputes, per query chunk of T, the key range [start, end) that
+   can contain its answers (two cheap searchsorteds over chunk min/max —
+   correct for ANY query order; tight when segments are sorted).
+2. The Pallas kernel DMA-streams W-wide key windows from HBM and counts
+   `key < query` with an all-pairs [T, W] vector compare — no gathers.
+   `idx = start + count`, exactly `searchsorted(..., side='left')`.
+
+Falls back to `jnp.searchsorted` off-TPU (and under interpret mode tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+T_QUERIES = 1024  # queries per chunk
+W_KEYS = 2048  # key window per DMA (start 128-aligned for Mosaic slicing)
+W_STEP = W_KEYS - 128  # effective advance per window (alignment slack)
+
+
+def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    segs = q_ref.shape[1]
+    n_keys = keys_hbm.shape[1]  # padded to >= W_KEYS
+
+    def seg_body(s, _):
+        flat = (b * segs + s) * n_chunks + c
+        start = starts_ref[flat]
+        end = ends_ref[flat]
+        q = q_ref[0, s, :]  # [T]
+        qT = q.reshape(T_QUERIES, 1)
+
+        n_pieces = pl.cdiv(end - start, W_STEP)
+
+        def body(i, count):
+            lo = start + i * W_STEP
+            hi = jnp.minimum(end, lo + W_STEP)
+            # 128-aligned, in-bounds DMA window; masking recovers [lo, hi)
+            piece = jnp.maximum(0, jnp.minimum(lo, n_keys - W_KEYS))
+            piece = pl.multiple_of((piece // 128) * 128, 128)
+            dma = pltpu.make_async_copy(
+                keys_hbm.at[pl.ds(b, 1), pl.ds(piece, W_KEYS)], scratch, sem
+            )
+            dma.start()
+            dma.wait()
+            kw = scratch[0, :]  # [W]
+            pos = piece + jax.lax.broadcasted_iota(jnp.int32, (1, W_KEYS), 1)[0]
+            in_range = (pos >= lo) & (pos < hi)
+            kw = jnp.where(in_range, kw, jnp.uint32(0xFFFFFFFF))
+            cmp = (kw.reshape(1, W_KEYS) < qT).astype(jnp.int32)  # [T, W]
+            return count + jnp.sum(cmp, axis=1)
+
+        count = jax.lax.fori_loop(
+            0, n_pieces, body, jnp.zeros((T_QUERIES,), jnp.int32)
+        )
+        out_ref[0, s, :] = start + count
+        return 0
+
+    jax.lax.fori_loop(0, segs, seg_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _searchsorted_pallas(keys, queries, starts, ends, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bsz, n = keys.shape
+    _, segs, m = queries.shape
+    n_chunks = m // T_QUERIES
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, n_chunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # keys stay in HBM
+            pl.BlockSpec(
+                (1, segs, T_QUERIES),
+                lambda b, c, *_: (b, 0, c),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, segs, T_QUERIES),
+            lambda b, c, *_: (b, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, W_KEYS), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(queries.shape, jnp.int32),
+        interpret=interpret,
+    )(starts.reshape(-1), ends.reshape(-1), keys, queries)
+
+
+def searchsorted_segments(keys, queries, interpret=None):
+    """Per-sample searchsorted(side='left') of segmented query arrays.
+
+    Args:
+        keys: [B, N] ascending uint32 per sample (SENTINEL padding at end).
+        queries: [B, S, M] uint32; each [M] segment should be roughly
+            ascending for performance (correct regardless).
+
+    Returns:
+        idx: [B, S, M] int32 in [0, N].
+    """
+    bsz, n = keys.shape
+    _, segs, m = queries.shape
+
+    use_pallas = interpret is True or (
+        interpret is None and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        flat = queries.reshape(bsz, -1)
+        idx = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(keys, flat)
+        return idx.astype(jnp.int32).reshape(queries.shape)
+
+    pad = (-m) % T_QUERIES
+    q = queries
+    if pad:
+        q = jnp.pad(queries, ((0, 0), (0, 0), (0, pad)), constant_values=np.uint32(0xFFFFFFFF))
+    key_pad = max(W_KEYS - n, (-n) % 128)
+    if key_pad:
+        # sentinel-pad keys so full 128-aligned DMA windows always exist;
+        # sentinels never compare below any query so counts are unchanged
+        keys = jnp.pad(
+            keys, ((0, 0), (0, key_pad)), constant_values=np.uint32(0xFFFFFFFF)
+        )
+    mp = q.shape[-1]
+    chunks = q.reshape(bsz, segs, mp // T_QUERIES, T_QUERIES)
+    cmin = jnp.min(chunks, axis=-1)
+    cmax = jnp.max(chunks, axis=-1)
+    # key range per chunk via the (cheap) generic searchsorted
+    lo = jax.vmap(lambda k, v: jnp.searchsorted(k, v, side="left"))(
+        keys, cmin.reshape(bsz, -1)
+    ).astype(jnp.int32)
+    hi = jax.vmap(lambda k, v: jnp.searchsorted(k, v, side="right"))(
+        keys, cmax.reshape(bsz, -1)
+    ).astype(jnp.int32)
+    idx = _searchsorted_pallas(
+        keys, q, lo, hi, interpret=bool(interpret)
+    )
+    if pad:
+        idx = idx[..., :m]
+    return idx

@@ -160,21 +160,28 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
     return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget]
 
 
-def lookup(keys_sorted: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+def lookup(
+    keys_sorted: jnp.ndarray, queries: jnp.ndarray, segments: bool = False
+) -> jnp.ndarray:
     """Find rows of `queries` in per-sample sorted key arrays.
 
     Args:
         keys_sorted: [B, N] ascending uint32 (SENTINEL padding at the end).
-        queries: [B, ...] uint32.
+        queries: [B, ...] uint32. With segments=True, shape [B, S, M] where
+            each [M] slice is roughly ascending (drives the TPU kernel's
+            windowing; correctness never depends on it).
 
     Returns:
         idx: [B, ...] int32 in [0, N]; N means miss (callers use row N as a
         zero-feature dump row).
     """
+    from .search import searchsorted_segments
+
     b, n = keys_sorted.shape
     q_shape = queries.shape
+    q3 = queries.reshape(b, q_shape[1] if segments and queries.ndim == 3 else 1, -1)
+    idx = searchsorted_segments(keys_sorted, q3).reshape(b, -1)
     q = queries.reshape(b, -1)
-    idx = jax.vmap(lambda k, qq: jnp.searchsorted(k, qq, side="left"))(keys_sorted, q)
     idx = jnp.minimum(idx, n - 1)
     hit = (jnp.take_along_axis(keys_sorted, idx, axis=1) == q) & (q != SENTINEL)
     idx = jnp.where(hit, idx, n).astype(jnp.int32)

@@ -1,0 +1,51 @@
+"""Pallas searchsorted kernel vs jnp.searchsorted (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fcaf3d_tpu.ops.sparse.search import T_QUERIES, searchsorted_segments
+
+
+def oracle(keys, queries):
+    return jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(
+        keys, queries.reshape(keys.shape[0], -1)
+    ).reshape(queries.shape)
+
+
+@pytest.mark.parametrize("n,m,segs", [(300, T_QUERIES, 2), (5000, 3 * T_QUERIES, 1)])
+def test_searchsorted_kernel_interpret(n, m, segs):
+    rng = np.random.RandomState(0)
+    b = 2
+    keys = np.sort(rng.randint(0, 2**31, (b, n)).astype(np.uint32), axis=1)
+    # sorted segments with some sentinel padding (like kmap queries)
+    q = np.sort(rng.randint(0, 2**31, (b, segs, m)).astype(np.uint32), axis=-1)
+    q[:, :, -5:] = 0xFFFFFFFF
+
+    got = np.asarray(searchsorted_segments(
+        jnp.asarray(keys), jnp.asarray(q), interpret=True))
+    expect = np.asarray(oracle(jnp.asarray(keys), jnp.asarray(q)))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_searchsorted_kernel_unsorted_segments_still_correct():
+    rng = np.random.RandomState(1)
+    b, n, m = 1, 2000, T_QUERIES
+    keys = np.sort(rng.randint(0, 2**31, (b, n)).astype(np.uint32), axis=1)
+    q = rng.randint(0, 2**31, (b, 1, m)).astype(np.uint32)  # NOT sorted
+    got = np.asarray(searchsorted_segments(
+        jnp.asarray(keys), jnp.asarray(q), interpret=True))
+    expect = np.asarray(oracle(jnp.asarray(keys), jnp.asarray(q)))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_searchsorted_kernel_exact_hits_and_duplicates():
+    b = 1
+    keys = np.array([[1, 5, 5, 5, 9, 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF]],
+                    np.uint32)
+    q = np.zeros((b, 1, T_QUERIES), np.uint32)
+    q[0, 0, :6] = [0, 1, 5, 6, 9, 10]
+    q[0, 0, 6:] = 0xFFFFFFFF
+    got = np.asarray(searchsorted_segments(
+        jnp.asarray(keys), jnp.asarray(q), interpret=True))[0, 0, :6]
+    np.testing.assert_array_equal(got, [0, 0, 1, 4, 4, 5])
