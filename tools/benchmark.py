@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Inference FPS benchmark CLI (reference `tools/analysis_tools/benchmark.py`).
+
+Measures end-to-end scenes/sec (voxelize -> backbone -> head -> NMS) with
+serialized on-device timing. `bench.py` at the repo root is the fixed
+driver entrypoint; this CLI adds model/dataset/batch options.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["scannet", "sunrgbd", "s3dis"],
+                    default="scannet")
+    ap.add_argument("--scales", type=int, default=4, choices=[2, 3, 4],
+                    help="backbone output scales (fast variants)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    sys.argv = [sys.argv[0], "--batch", str(args.batch), "--iters", str(args.iters)]
+    import bench as root_bench  # reuse the driver bench implementation
+
+    if args.dataset != "scannet" or args.scales != 4:
+        import dataclasses
+
+        from fcaf3d_tpu import configs as C
+
+        base = {
+            "scannet": C.fcaf3d_scannet,
+            "sunrgbd": C.fcaf3d_sunrgbd,
+            "s3dis": C.fcaf3d_s3dis,
+        }[args.dataset]()
+        if args.scales != 4:
+            # fast variants (fcaf3d_2scales/3scales configs): fewer levels,
+            # voxel 0.02 for the 2-scale model
+            base = dataclasses.replace(
+                base,
+                n_outs=args.scales,
+                voxel_size=0.02 if args.scales == 2 else base.voxel_size,
+            )
+        C.fcaf3d_scannet = lambda: base  # bench reads this constructor
+    root_bench.main()
+
+
+if __name__ == "__main__":
+    main()
