@@ -188,3 +188,33 @@ def axis_aligned_iou(pred, target):
     v2 = jnp.prod(hi2 - lo2, axis=-1)
     union = v1 + v2 - inter_vol
     return inter_vol / jnp.maximum(union, _EPS)
+
+
+def giou_3d(boxes1, boxes2):
+    """3D Generalized IoU of gravity-centered 7-DoF box pairs.
+
+    Like `cal_giou_3d` (`oriented_iou_loss.py:112-130`) but with the
+    axis-aligned enclosing box (the reference's `enclosing_type='aligned'`
+    option) instead of the rotating-calipers smallest box — cheaper on TPU
+    and an upper bound of the smallest enclosure. Returns (giou_loss, iou).
+    """
+    iou = iou_3d(boxes1, boxes2)
+    c1 = bev_corners(boxes1[..., jnp.array([0, 1, 3, 4, 6])])
+    c2 = bev_corners(boxes2[..., jnp.array([0, 1, 3, 4, 6])])
+    allc = jnp.concatenate([c1, c2], axis=-2)  # [..., 8, 2]
+    w = jnp.max(allc[..., 0], -1) - jnp.min(allc[..., 0], -1)
+    h = jnp.max(allc[..., 1], -1) - jnp.min(allc[..., 1], -1)
+    zmax = jnp.maximum(
+        boxes1[..., 2] + boxes1[..., 5] * 0.5, boxes2[..., 2] + boxes2[..., 5] * 0.5
+    )
+    zmin = jnp.minimum(
+        boxes1[..., 2] - boxes1[..., 5] * 0.5, boxes2[..., 2] - boxes2[..., 5] * 0.5
+    )
+    v_c = jnp.maximum(w * h * (zmax - zmin), _EPS)
+    inter_2d = quad_intersection_area(c1, c2)
+    inter_3d = inter_2d * _z_overlap(boxes1, boxes2)
+    v1 = boxes1[..., 3] * boxes1[..., 4] * boxes1[..., 5]
+    v2 = boxes2[..., 3] * boxes2[..., 4] * boxes2[..., 5]
+    union = v1 + v2 - inter_3d
+    giou_loss = 1.0 - iou + (v_c - union) / v_c
+    return giou_loss, iou

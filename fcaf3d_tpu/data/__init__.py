@@ -14,6 +14,11 @@ from .pipelines import (  # noqa: F401
     Compose,
     GlobalAlignment,
     GlobalRotScaleTrans,
+    ObjectNameFilter,
     PointSample,
+    PointShuffle,
+    PointsRangeFilter,
+    RandomDropPointsColor,
     RandomFlip,
+    RandomJitterPoints,
 )

@@ -134,3 +134,75 @@ class GlobalRotScaleTrans:
         sample["pcd_rotation"] = angle
         sample["pcd_scale_factor"] = scale
         return sample
+
+
+class PointShuffle:
+    """`PointShuffle`: random permutation of points."""
+
+    def __call__(self, sample, rng):
+        sample["points"] = sample["points"][rng.permutation(len(sample["points"]))]
+        return sample
+
+
+class RandomJitterPoints:
+    """`RandomJitterPoints`: clipped gaussian per-point jitter
+    (reference `transforms_3d.py`, seg pipelines)."""
+
+    def __init__(self, jitter_std=0.01, clip_range=(-0.05, 0.05)):
+        self.std = jitter_std
+        self.clip = clip_range
+
+    def __call__(self, sample, rng):
+        pts = sample["points"].copy()
+        noise = np.clip(
+            rng.standard_normal((len(pts), 3)) * self.std, self.clip[0], self.clip[1]
+        )
+        pts[:, :3] += noise.astype(np.float32)
+        sample["points"] = pts
+        return sample
+
+
+class RandomDropPointsColor:
+    """`RandomDropPointsColor`: zero the color channels with probability p."""
+
+    def __init__(self, drop_ratio=0.2):
+        self.drop_ratio = drop_ratio
+
+    def __call__(self, sample, rng):
+        if rng.random() < self.drop_ratio:
+            pts = sample["points"].copy()
+            pts[:, 3:6] = 0.0
+            sample["points"] = pts
+        return sample
+
+
+class PointsRangeFilter:
+    """`PointsRangeFilter`: keep points inside an axis-aligned range."""
+
+    def __init__(self, point_cloud_range):
+        self.range = np.asarray(point_cloud_range, np.float32)  # x1y1z1x2y2z2
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        m = (
+            (pts[:, 0] >= self.range[0]) & (pts[:, 0] <= self.range[3])
+            & (pts[:, 1] >= self.range[1]) & (pts[:, 1] <= self.range[4])
+            & (pts[:, 2] >= self.range[2]) & (pts[:, 2] <= self.range[5])
+        )
+        sample["points"] = pts[m]
+        return sample
+
+
+class ObjectNameFilter:
+    """`ObjectNameFilter`: keep GT boxes whose label is in `keep_labels`."""
+
+    def __init__(self, keep_labels):
+        self.keep = set(int(k) for k in keep_labels)
+
+    def __call__(self, sample, rng):
+        labels = sample.get("gt_labels")
+        if labels is not None and len(labels):
+            m = np.asarray([int(l) in self.keep for l in labels])
+            sample["gt_boxes"] = sample["gt_boxes"][m]
+            sample["gt_labels"] = labels[m]
+        return sample

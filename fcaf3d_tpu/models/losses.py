@@ -81,3 +81,11 @@ def chamfer_distance_sum(src, dst, src_valid, dst_valid, mode: str = "l2"):
     loss_src = jnp.sum(jnp.where(src_valid, d_src, 0.0))
     loss_dst = jnp.sum(jnp.where(dst_valid, d_dst, 0.0))
     return loss_src, loss_dst, i_src, i_dst
+
+
+def giou3d_loss_sum(pred_boxes7, target_boxes7, weight):
+    """Summed GIoU3D loss (`GIoU3DLoss` equivalent, axis-aligned enclosure)."""
+    from ..core.rotated_iou import giou_3d
+
+    loss, _ = giou_3d(pred_boxes7, target_boxes7)
+    return jnp.sum(loss * weight)
