@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sparse.conv import (
+    gen_gather_gemm,
     generative_transpose_conv2x2,
     sparse_conv,
     sparse_max_pool,
@@ -212,3 +213,21 @@ class SparseBasicBlock(nn.Module):
         # strided main/skip paths produce the identical (sorted) coord map
         out = out.with_feats(out.feats + residual.feats)
         return sparse_relu(out)
+
+
+class SparseGenConv3(nn.Module):
+    """k3 s1 conv on a parent-major generated child map via block gathers
+    (`gen_gather_gemm`) — same math as SparseConv with the analytic plan,
+    ~8x fewer gather transactions. Param layout matches SparseConv."""
+
+    out_channels: int
+    kernel_init: Callable = _kaiming_kernel_init
+
+    @nn.compact
+    def __call__(self, child: SparseTensor, parent_kmap) -> SparseTensor:
+        w = self.param(
+            "kernel", self.kernel_init, (27, child.num_channels, self.out_channels)
+        ).astype(child.feats.dtype)
+        out = gen_gather_gemm(child.feats, parent_kmap, w)
+        out = jnp.where(child.valid[..., None], out, 0.0)
+        return child.with_feats(out)

@@ -31,8 +31,9 @@ from flax import linen as nn
 
 from ..core.nms import nms_bev
 from ..ops.sparse.conv import (
-    gen_conv_plan,
+    build_kernel_map,
     interpolate_at,
+    kernel_offsets,
     sparse_prune,
     sparse_union_add,
 )
@@ -41,6 +42,7 @@ from .assigner import fcaf3d_assign
 from .blocks import (
     SparseBatchNorm,
     SparseConv,
+    SparseGenConv3,
     SparseGenerativeTranspose,
     sparse_elu,
 )
@@ -90,10 +92,12 @@ class Fcaf3DNeckWithHead(nn.Module):
             x = SparseGenerativeTranspose(
                 out_ch, sort_output=False, name=f"up_block_{i}_tr"
             )(parent)
-            plan = gen_conv_plan(parent, x)
+            pk = build_kernel_map(
+                parent.keys, parent.coords, kernel_offsets(3, parent.stride)
+            )
             x = SparseBatchNorm(name=f"up_block_{i}_bn1")(x, train)
             x = sparse_elu(x)
-            x = SparseConv(out_ch, 3, name=f"up_block_{i}_conv")(x, plan=plan)
+            x = SparseGenConv3(out_ch, name=f"up_block_{i}_conv")(x, pk)
             x = SparseBatchNorm(name=f"up_block_{i}_bn2")(x, train)
             return sparse_elu(x)
 
@@ -245,6 +249,9 @@ class FcafLossConfig(NamedTuple):
     assign_topk: int = 18
     with_yaw: bool = False
     yaw_parametrization: str = "fcaf3d"
+    # static cap on positives per sample for the bbox/centerness terms;
+    # >= assign_topk * max_gt_boxes covers every possible positive
+    max_pos: int = 2048
 
 
 def fcaf3d_loss(
@@ -269,22 +276,37 @@ def fcaf3d_loss(
     scales_b = jnp.broadcast_to(scales[None, :], valid.shape)
 
     def per_sample(ctr, bp, cls, pts, val, scl, gb, gl, gv):
-        assign = fcaf3d_assign(
-            pts, scl, val, gb, gl, gv,
-            n_scales=cfg.n_scales, limit=cfg.assign_limit, topk=cfg.assign_topk,
+        assign = jax.lax.stop_gradient(
+            fcaf3d_assign(
+                pts, scl, val, gb, gl, gv,
+                n_scales=cfg.n_scales, limit=cfg.assign_limit,
+                topk=cfg.assign_topk,
+            )
         )
         pos = (assign.labels >= 0) & val
         n_pos = jnp.sum(pos).astype(jnp.float32)
         cls_sum = focal_loss_sum(cls, assign.labels, val)
-        ctr_sum = bce_loss_sum(ctr[..., 0], assign.centerness, pos)
-        pred_boxes = bbox_pred_to_bbox(pts, bp, cfg.yaw_parametrization)
+
+        # compact positives to a static cap: the rotated-IoU polygon clip
+        # has ~50 floats of intermediates per row, so running it over every
+        # location (like the masked-full-array formulation) wastes GBs
+        k = min(cfg.max_pos, pos.shape[0])
+        pos_idx = jnp.argsort(~pos, stable=True)[:k]
+        pos_k = pos[pos_idx]
+        ctr_k = ctr[pos_idx, 0]
+        ctr_t_k = assign.centerness[pos_idx]
+        ctr_sum = bce_loss_sum(ctr_k, ctr_t_k, pos_k)
+
+        pred_boxes = bbox_pred_to_bbox(
+            pts[pos_idx], bp[pos_idx], cfg.yaw_parametrization
+        )
         if pred_boxes.shape[-1] == 6:
             pred_boxes = jnp.concatenate(
                 [pred_boxes, jnp.zeros_like(pred_boxes[..., :1])], axis=-1
             )
-        w = jnp.where(pos, assign.centerness, 0.0)
+        w = jnp.where(pos_k, ctr_t_k, 0.0)
         bbox_sum = iou3d_loss_sum(
-            pred_boxes, assign.bbox_targets, w, with_yaw=cfg.with_yaw
+            pred_boxes, assign.bbox_targets[pos_idx], w, with_yaw=cfg.with_yaw
         )
         return cls_sum, ctr_sum, bbox_sum, n_pos, jnp.sum(w)
 

@@ -458,3 +458,111 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray) -> jnp.ndarray:
         term = f * w[..., None]
         out = term if out is None else out + term
     return out
+
+
+def _gen_route_tables():
+    """Static routing for parent-major generated maps: for child slot o and
+    kernel offset d, the neighbor lives in parent-offset pk(o, d) at child
+    slot cb(o, d) (see `gen_conv_plan`). Returns route [8*27] with
+    route[o*27+d] = pk*8 + cb."""
+    o_bits = np.array(list(itertools.product((0, 1), (0, 1), (0, 1))), np.int32)
+    deltas = np.array(
+        list(itertools.product((-1, 0, 1), (-1, 0, 1), (-1, 0, 1))), np.int32
+    )
+    v = o_bits[:, None, :] + deltas[None, :, :]
+    p_off = np.floor_divide(v, 2)
+    bit = v - 2 * p_off
+    pk = (p_off[..., 0] + 1) * 9 + (p_off[..., 1] + 1) * 3 + (p_off[..., 2] + 1)
+    cb = bit[..., 0] * 4 + bit[..., 1] * 2 + bit[..., 2]
+    return (pk * 8 + cb).reshape(-1)
+
+
+_GEN_ROUTE = _gen_route_tables()
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gen_gather_gemm(child_feats, parent_idx, weight, p_chunk: int = 2048):
+    """Sparse conv3 on a parent-major generated child map via *block* gathers.
+
+    Equivalent to `gather_gemm(child_feats, gen_conv_plan(...).idx, w)` but
+    gathers contiguous 8-child blocks at the parent level (27 block-gathers
+    per parent instead of 216 row-gathers per parent's children) and routes
+    slots with static indexing — ~8x fewer gather transactions.
+
+    Args:
+        child_feats: [B, 8P, C] parent-major child features.
+        parent_idx: [B, P, 27] parent kernel map (P = miss).
+        weight: [27, C, E].
+    """
+    return _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk)
+
+
+def _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk):
+    b, p, k = parent_idx.shape
+    c = child_feats.shape[-1]
+    e = weight.shape[-1]
+    blocks = child_feats.reshape(b, p, 8, c)
+    bpad = jnp.concatenate([blocks, jnp.zeros_like(blocks[:, :1])], axis=1)
+    route = jnp.asarray(_GEN_ROUTE)
+
+    outs = []
+    for lo in range(0, p, p_chunk):
+        hi = min(lo + p_chunk, p)
+        idx = parent_idx[:, lo:hi]  # [B, pc, 27]
+        g = jnp.take_along_axis(
+            bpad.reshape(b, p + 1, 8 * c), idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, hi - lo, 27, 8, c)
+        gf = g.reshape(b, hi - lo, 216, c)[:, :, route, :]  # [B, pc, 216, C]
+        r = gf.reshape(b, hi - lo, 8, 27, c)
+        outs.append(
+            jnp.einsum("bpodc,dce->bpoe", r, weight,
+                       preferred_element_type=child_feats.dtype)
+        )
+    out = jnp.concatenate(outs, axis=1)  # [B, P, 8, E]
+    return out.reshape(b, p * 8, e)
+
+
+def _gen_fwd(child_feats, parent_idx, weight, p_chunk):
+    return _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk), (
+        child_feats, parent_idx, weight)
+
+
+def _gen_bwd(p_chunk, res, dout):
+    child_feats, parent_idx, weight = res
+    b, p, k = parent_idx.shape
+    c = child_feats.shape[-1]
+    e = weight.shape[-1]
+    blocks = child_feats.reshape(b, p, 8, c)
+    bpad = jnp.concatenate([blocks, jnp.zeros_like(blocks[:, :1])], axis=1)
+    route = jnp.asarray(_GEN_ROUTE)
+    # reverse routing as a static scatter matrix [216(r), 216(slot)]
+    rev = jnp.asarray(np.eye(216, dtype=np.float32)[_GEN_ROUTE])
+    dout = dout.reshape(b, p, 8, e)
+
+    dw = jnp.zeros(weight.shape, jnp.float32)
+    dpad = jnp.zeros((b, p + 1, 8 * c), jnp.float32)
+    from .tensor import batched_scatter_add
+
+    for lo in range(0, p, p_chunk):
+        hi = min(lo + p_chunk, p)
+        idx = parent_idx[:, lo:hi]
+        g = jnp.take_along_axis(
+            bpad.reshape(b, p + 1, 8 * c), idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, hi - lo, 27, 8, c)
+        gf = g.reshape(b, hi - lo, 216, c)[:, :, route, :]
+        r = gf.reshape(b, hi - lo, 8, 27, c)
+        do = dout[:, lo:hi]
+        dw = dw + jnp.einsum("bpodc,bpoe->dce", r, do,
+                             preferred_element_type=jnp.float32)
+        dr = jnp.einsum("bpoe,dce->bpodc", do, weight,
+                        preferred_element_type=jnp.float32)
+        dgf = dr.reshape(b, hi - lo, 216, c)
+        dg = jnp.einsum("bprc,rs->bpsc", dgf, rev,
+                        preferred_element_type=jnp.float32)  # [B, pc, 216, C]
+        dg = dg.reshape(b, (hi - lo) * 27, 8 * c)
+        dpad = batched_scatter_add(dpad, idx.reshape(b, -1), dg)
+    dchild = dpad[:, :p].reshape(b, p * 8, c).astype(child_feats.dtype)
+    return dchild, None, dw.astype(weight.dtype)
+
+
+gen_gather_gemm.defvjp(_gen_fwd, _gen_bwd)

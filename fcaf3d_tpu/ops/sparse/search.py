@@ -35,7 +35,7 @@ def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     segs = q_ref.shape[1]
-    n_keys = keys_hbm.shape[1]  # padded to >= W_KEYS
+    n_keys = keys_hbm.shape[2]  # padded to >= W_KEYS
 
     def seg_body(s, _):
         flat = (b * segs + s) * n_chunks + c
@@ -53,7 +53,7 @@ def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
             piece = jnp.maximum(0, jnp.minimum(lo, n_keys - W_KEYS))
             piece = pl.multiple_of((piece // 128) * 128, 128)
             dma = pltpu.make_async_copy(
-                keys_hbm.at[pl.ds(b, 1), pl.ds(piece, W_KEYS)], scratch, sem
+                keys_hbm.at[b, pl.ds(0, 1), pl.ds(piece, W_KEYS)], scratch, sem
             )
             dma.start()
             dma.wait()
@@ -78,7 +78,7 @@ def _searchsorted_pallas(keys, queries, starts, ends, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bsz, n = keys.shape
+    bsz = keys.shape[0]
     _, segs, m = queries.shape
     n_chunks = m // T_QUERIES
 
@@ -156,7 +156,7 @@ def searchsorted_segments(keys, queries, interpret=None):
         keys, cmax.reshape(bsz, -1)
     ).astype(jnp.int32)
     idx = _searchsorted_pallas(
-        keys, q, lo, hi, interpret=bool(interpret)
+        keys.reshape(bsz, 1, -1), q, lo, hi, interpret=bool(interpret)
     )
     if pad:
         idx = idx[..., :m]

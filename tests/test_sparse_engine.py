@@ -312,3 +312,41 @@ def test_gen_conv_plan_matches_generic_kmap():
     assert set(da) == set(db) and len(da) == 12 * 8
     for k in da:
         np.testing.assert_allclose(da[k], db[k], atol=1e-4)
+
+
+def test_gen_gather_gemm_matches_plan_conv():
+    """Block-gather gen conv == analytic-plan conv, values and gradients."""
+    from fcaf3d_tpu.ops.sparse import gen_conv_plan
+    from fcaf3d_tpu.ops.sparse.conv import (
+        build_kernel_map, gen_gather_gemm, kernel_offsets)
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    parents = rng.choice(6 * 6 * 6, size=20, replace=False)
+    pc = np.stack(np.unravel_index(parents, (6, 6, 6)), 1).astype(np.int32) * 2
+    pf = rng.randn(20, 4).astype(np.float32)
+    parent = make_sparse([pc], [pf], capacity=24, stride=2, channels=4)
+    wt = jnp.asarray(rng.randn(8, 4, 4).astype(np.float32))
+    gen = generative_transpose_conv2x2(parent, wt, sort_output=False)
+    w3 = jnp.asarray(rng.randn(27, 4, 5).astype(np.float32) * 0.2)
+
+    plan = gen_conv_plan(parent, gen)
+    ref_out = sparse_conv(gen, w3, 3, plan=plan)
+    pk = build_kernel_map(parent.keys, parent.coords, kernel_offsets(3, parent.stride))
+    got = gen_gather_gemm(gen.feats, pk, w3, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out.feats),
+                               atol=1e-4)
+
+    # gradients agree with autodiff through the plan path
+    def loss_a(f, w):
+        return jnp.sum(gen_gather_gemm(f, pk, w, 8) ** 2)
+
+    def loss_b(f, w):
+        from fcaf3d_tpu.ops.sparse.conv import gather_gemm
+        return jnp.sum(gather_gemm(f, plan[2], w, 3) ** 2)
+
+    ga = jax.grad(loss_a, argnums=(0, 1))(gen.feats, w3)
+    gb = jax.grad(loss_b, argnums=(0, 1))(gen.feats, w3)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=1e-3)
