@@ -136,11 +136,21 @@ class Fcaf3DNeckWithHead(nn.Module):
         scores_st = None
         for i in range(n - 1, -1, -1):
             if i < n - 1:
-                x = self._up_block(i + 1, inputs[i].num_channels)(x, train)
+                # remat: recompute up-block activations in the backward pass
+                up = nn.remat(
+                    lambda mdl, xx, tr, _i=i: mdl._up_block(_i + 1,
+                        inputs[_i].num_channels)(xx, tr),
+                    static_argnums=(2,),
+                )
+                x = up(self, x, train)
                 # union add: laterals whose parent voxel was pruned survive
                 x = sparse_union_add(x, inputs[i])
                 x = self._prune(x, scores_st, self.neck_budgets[i])
-            out = self._out_block(i)(x, train)
+            out_blk = nn.remat(
+                lambda mdl, xx, tr, _i=i: mdl._out_block(_i)(xx, tr),
+                static_argnums=(2,),
+            )
+            out = out_blk(self, x, train)
 
             centerness = centerness_conv(out)
             cls = cls_conv(out)

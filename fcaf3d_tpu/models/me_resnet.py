@@ -72,12 +72,14 @@ class MEResNet3D(nn.Module):
                 x.keys, out_coords, kernel_offsets(1, x.stride)))
             plan_s1 = (out_coords, out_keys, build_kernel_map(
                 out_keys, out_coords, kernel_offsets(3, x.stride * 2)))
-            x = SparseBasicBlock(
-                PLANES[i], stride=2, out_budget=stage_budgets[i], name=f"layer{i + 1}_0"
-            )(x, train, plans=(plan_s2, plan_s1, plan_ds))
+            # remat each block: recompute activations in the backward pass
+            block0 = nn.remat(SparseBasicBlock, static_argnums=(2,))(
+                PLANES[i], stride=2, out_budget=stage_budgets[i],
+                name=f"layer{i + 1}_0")
+            x = block0(x, train, (plan_s2, plan_s1, plan_ds))
             for j in range(1, layers[i]):
-                x = SparseBasicBlock(PLANES[i], name=f"layer{i + 1}_{j}")(
-                    x, train, plans=(plan_s1, plan_s1, None)
-                )
+                blk = nn.remat(SparseBasicBlock, static_argnums=(2,))(
+                    PLANES[i], name=f"layer{i + 1}_{j}")
+                x = blk(x, train, (plan_s1, plan_s1, None))
             outs.append(x)
         return tuple(outs)

@@ -99,16 +99,22 @@ def _gather_rows(feats, idx):
 def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks):
     k = weight.shape[0]
     m = idx.shape[1]
-    b = feats.shape[0]
+    b, _, cin = feats.shape
     cout = weight.shape[-1]
     bounds = np.linspace(0, k, n_chunks + 1).astype(int)
     out = jnp.zeros((b, m, cout), dtype=feats.dtype)
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if lo == hi:
             continue
+        kc = hi - lo
         g = _gather_rows(feats, idx[:, :, lo:hi])  # [B, M, Kc, Cin]
+        # flatten (Kc, Cin): keeps the minor dim 128-aligned (no 2x padding)
+        # and turns the contraction into one clean MXU GEMM
         out = out + jnp.einsum(
-            "bmkc,kcd->bmd", g, weight[lo:hi], preferred_element_type=out.dtype
+            "bmx,xd->bmd",
+            g.reshape(b, m, kc * cin),
+            weight[lo:hi].reshape(kc * cin, cout),
+            preferred_element_type=out.dtype,
         )
     return out
 
@@ -128,12 +134,17 @@ def _gather_gemm_bwd(n_chunks, res, dout):
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if lo == hi:
             continue
-        g = _gather_rows(feats, idx[:, :, lo:hi])  # recompute
+        kc = hi - lo
+        m = idx.shape[1]
+        g = _gather_rows(feats, idx[:, :, lo:hi]).reshape(b, m, kc * cin)
         dw = dw.at[lo:hi].add(
-            jnp.einsum("bmkc,bmd->kcd", g, dout, preferred_element_type=jnp.float32)
+            jnp.einsum(
+                "bmx,bmd->xd", g, dout, preferred_element_type=jnp.float32
+            ).reshape(kc, cin, -1)
         )
         contrib = jnp.einsum(
-            "bmd,kcd->bmkc", dout, weight[lo:hi], preferred_element_type=jnp.float32
+            "bmd,xd->bmx", dout, weight[lo:hi].reshape(kc * cin, -1),
+            preferred_element_type=jnp.float32,
         )
         flat_idx = idx[:, :, lo:hi].reshape(b, -1)
         dfeats_pad = batched_scatter_add(
@@ -481,7 +492,7 @@ _GEN_ROUTE = _gen_route_tables()
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gen_gather_gemm(child_feats, parent_idx, weight, p_chunk: int = 2048):
+def gen_gather_gemm(child_feats, parent_idx, weight, p_chunk: int = 0):
     """Sparse conv3 on a parent-major generated child map via *block* gathers.
 
     Equivalent to `gather_gemm(child_feats, gen_conv_plan(...).idx, w)` but
@@ -497,29 +508,37 @@ def gen_gather_gemm(child_feats, parent_idx, weight, p_chunk: int = 2048):
     return _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk)
 
 
+def _gen_route_flat(c):
+    """[216*C] static index: flat routed position -> flat gathered position."""
+    return (_GEN_ROUTE[:, None] * c + np.arange(c)[None, :]).reshape(-1)
+
+
 def _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk):
     b, p, k = parent_idx.shape
     c = child_feats.shape[-1]
     e = weight.shape[-1]
-    blocks = child_feats.reshape(b, p, 8, c)
+    if p_chunk == 0:  # bound the routed temp to ~64k*216 elements per chunk
+        p_chunk = max(128, 65536 // c)
+    blocks = child_feats.reshape(b, p, 8 * c)
     bpad = jnp.concatenate([blocks, jnp.zeros_like(blocks[:, :1])], axis=1)
-    route = jnp.asarray(_GEN_ROUTE)
+    rf = jnp.asarray(_gen_route_flat(c))
+    wflat = weight.reshape(27 * c, e)
 
     outs = []
     for lo in range(0, p, p_chunk):
         hi = min(lo + p_chunk, p)
+        pc = hi - lo
         idx = parent_idx[:, lo:hi]  # [B, pc, 27]
         g = jnp.take_along_axis(
-            bpad.reshape(b, p + 1, 8 * c), idx.reshape(b, -1)[..., None], axis=1
-        ).reshape(b, hi - lo, 27, 8, c)
-        gf = g.reshape(b, hi - lo, 216, c)[:, :, route, :]  # [B, pc, 216, C]
-        r = gf.reshape(b, hi - lo, 8, 27, c)
+            bpad, idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, pc, 27 * 8 * c)
+        gf = g[:, :, rf]  # [B, pc, 216*C] routed (static gather, 128-aligned)
+        r = gf.reshape(b, pc * 8, 27 * c)
         outs.append(
-            jnp.einsum("bpodc,dce->bpoe", r, weight,
+            jnp.einsum("bmx,xe->bme", r, wflat,
                        preferred_element_type=child_feats.dtype)
         )
-    out = jnp.concatenate(outs, axis=1)  # [B, P, 8, E]
-    return out.reshape(b, p * 8, e)
+    return jnp.concatenate(outs, axis=1)  # [B, 8P, E]
 
 
 def _gen_fwd(child_feats, parent_idx, weight, p_chunk):
@@ -532,37 +551,40 @@ def _gen_bwd(p_chunk, res, dout):
     b, p, k = parent_idx.shape
     c = child_feats.shape[-1]
     e = weight.shape[-1]
-    blocks = child_feats.reshape(b, p, 8, c)
+    if p_chunk == 0:
+        p_chunk = max(128, 65536 // c)
+    blocks = child_feats.reshape(b, p, 8 * c)
     bpad = jnp.concatenate([blocks, jnp.zeros_like(blocks[:, :1])], axis=1)
-    route = jnp.asarray(_GEN_ROUTE)
-    # reverse routing as a static scatter matrix [216(r), 216(slot)]
-    rev = jnp.asarray(np.eye(216, dtype=np.float32)[_GEN_ROUTE])
-    dout = dout.reshape(b, p, 8, e)
+    rf = jnp.asarray(_gen_route_flat(c))
+    wflat = weight.reshape(27 * c, e)
+    dout = dout.reshape(b, p * 8, e)
 
-    dw = jnp.zeros(weight.shape, jnp.float32)
+    dw = jnp.zeros((27 * c, e), jnp.float32)
     dpad = jnp.zeros((b, p + 1, 8 * c), jnp.float32)
     from .tensor import batched_scatter_add
 
     for lo in range(0, p, p_chunk):
         hi = min(lo + p_chunk, p)
+        pc = hi - lo
         idx = parent_idx[:, lo:hi]
         g = jnp.take_along_axis(
-            bpad.reshape(b, p + 1, 8 * c), idx.reshape(b, -1)[..., None], axis=1
-        ).reshape(b, hi - lo, 27, 8, c)
-        gf = g.reshape(b, hi - lo, 216, c)[:, :, route, :]
-        r = gf.reshape(b, hi - lo, 8, 27, c)
-        do = dout[:, lo:hi]
-        dw = dw + jnp.einsum("bpodc,bpoe->dce", r, do,
+            bpad, idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, pc, 27 * 8 * c)
+        r = g[:, :, rf].reshape(b, pc * 8, 27 * c)
+        do = dout[:, lo * 8:hi * 8]
+        dw = dw + jnp.einsum("bmx,bme->xe", r, do,
                              preferred_element_type=jnp.float32)
-        dr = jnp.einsum("bpoe,dce->bpodc", do, weight,
+        dr = jnp.einsum("bme,xe->bmx", do, wflat,
                         preferred_element_type=jnp.float32)
-        dgf = dr.reshape(b, hi - lo, 216, c)
-        dg = jnp.einsum("bprc,rs->bpsc", dgf, rev,
-                        preferred_element_type=jnp.float32)  # [B, pc, 216, C]
-        dg = dg.reshape(b, (hi - lo) * 27, 8 * c)
-        dpad = batched_scatter_add(dpad, idx.reshape(b, -1), dg)
+        # reverse routing: scatter-add (static duplicate indices) back into
+        # the gathered layout, then into parent blocks
+        dg = jnp.zeros((b, pc, 27 * 8 * c), jnp.float32)
+        dg = dg.at[:, :, rf].add(dr.reshape(b, pc, 216 * c))
+        dpad = batched_scatter_add(
+            dpad, idx.reshape(b, -1), dg.reshape(b, pc * 27, 8 * c)
+        )
     dchild = dpad[:, :p].reshape(b, p * 8, c).astype(child_feats.dtype)
-    return dchild, None, dw.astype(weight.dtype)
+    return dchild, None, dw.reshape(27, c, e).astype(weight.dtype)
 
 
 gen_gather_gemm.defvjp(_gen_fwd, _gen_bwd)
