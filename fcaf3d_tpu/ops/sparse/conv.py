@@ -458,17 +458,22 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray) -> jnp.ndarray:
     frac = pos - base
     base = base.astype(jnp.int32) * st.stride
     corners = np.array(list(itertools.product((0, 1), (0, 1), (0, 1))), np.int32)
-    out = None
-    for corner in corners:
-        cc = base + jnp.asarray(corner * st.stride)
-        w = jnp.prod(
-            jnp.where(jnp.asarray(corner, bool), frac, 1.0 - frac), axis=-1
-        )  # [B, Q]
-        idx = lookup(st.keys, encode_coords(cc))  # [B, Q]
-        f = _gather_rows(st.feats, idx[..., None])[:, :, 0, :]  # [B, Q, C]
-        term = f * w[..., None]
-        out = term if out is None else out + term
-    return out
+    # all 8 corner lookups in ONE segmented search call (each corner's
+    # queries are a constant shift of the same ordering)
+    cc = base[:, None, :, :] + jnp.asarray(corners * st.stride)[None, :, None, :]
+    idx = lookup(st.keys, encode_coords(cc), segments=True)  # [B, 8, Q]
+    w = jnp.prod(
+        jnp.where(
+            jnp.asarray(corners, bool)[None, :, None, :],
+            frac[:, None, :, :],
+            1.0 - frac[:, None, :, :],
+        ),
+        axis=-1,
+    )  # [B, 8, Q]
+    b, _, q = idx.shape
+    f = _gather_rows(st.feats, idx.reshape(b, 8 * q, 1))[:, :, 0, :]
+    f = f.reshape(b, 8, q, -1)
+    return jnp.sum(f * w[..., None], axis=1)
 
 
 def _gen_route_tables():
