@@ -96,7 +96,21 @@ def _gather_rows(feats, idx):
     return g.reshape(idx.shape + (c,))
 
 
+def _use_fused_conv():
+    """The fused Pallas conv currently ties XLA's gather+GEMM on v5e (both
+    are matmul-throughput-bound); keep it opt-in until it wins."""
+    import os
+
+    return os.environ.get("FCAF3D_FUSED_CONV") == "1" and (
+        jax.default_backend() == "tpu"
+    )
+
+
 def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks):
+    if _use_fused_conv():
+        from .gather_kernel import fused_gather_gemm
+
+        return fused_gather_gemm(feats, idx, weight)
     k = weight.shape[0]
     m = idx.shape[1]
     b, _, cin = feats.shape
@@ -518,10 +532,32 @@ def _gen_route_flat(c):
     return (_GEN_ROUTE[:, None] * c + np.arange(c)[None, :]).reshape(-1)
 
 
+def _gen_child_idx(parent_idx):
+    """Expand a parent kernel map [B, P, 27] to the child map [B, 8P, 27]
+    (same arithmetic as `gen_conv_plan`)."""
+    b, p, _ = parent_idx.shape
+    o_bits = np.array(list(itertools.product((0, 1), (0, 1), (0, 1))), np.int32)
+    deltas = np.array(
+        list(itertools.product((-1, 0, 1), (-1, 0, 1), (-1, 0, 1))), np.int32
+    )
+    v = o_bits[:, None, :] + deltas[None, :, :]
+    p_off = np.floor_divide(v, 2)
+    bit = v - 2 * p_off
+    pk = (p_off[..., 0] + 1) * 9 + (p_off[..., 1] + 1) * 3 + (p_off[..., 2] + 1)
+    cb = bit[..., 0] * 4 + bit[..., 1] * 2 + bit[..., 2]
+    j = parent_idx[:, :, jnp.asarray(pk.reshape(-1))].reshape(b, p, 8, 27)
+    child = jnp.where(j >= p, 8 * p, j * 8 + jnp.asarray(cb)[None, None])
+    return child.reshape(b, 8 * p, 27).astype(jnp.int32)
+
+
 def _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk):
     b, p, k = parent_idx.shape
     c = child_feats.shape[-1]
     e = weight.shape[-1]
+    if _use_fused_conv():
+        from .gather_kernel import fused_gather_gemm
+
+        return fused_gather_gemm(child_feats, _gen_child_idx(parent_idx), weight)
     if p_chunk == 0:  # bound the routed temp to ~64k*216 elements per chunk
         p_chunk = max(128, 65536 // c)
     blocks = child_feats.reshape(b, p, 8 * c)

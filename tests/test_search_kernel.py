@@ -49,3 +49,25 @@ def test_searchsorted_kernel_exact_hits_and_duplicates():
     got = np.asarray(searchsorted_segments(
         jnp.asarray(keys), jnp.asarray(q), interpret=True))[0, 0, :6]
     np.testing.assert_array_equal(got, [0, 0, 1, 4, 4, 5])
+
+
+def test_fused_gather_gemm_interpret():
+    """Fused conv kernel == XLA gather+GEMM (interpret mode)."""
+    from fcaf3d_tpu.ops.sparse.conv import gather_gemm
+    from fcaf3d_tpu.ops.sparse.gather_kernel import fused_gather_gemm
+
+    rng = np.random.RandomState(0)
+    b, n, m, k, c, e = 2, 700, 300, 27, 64, 32
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    base = np.sort(rng.randint(0, n, (b, m)), axis=1)
+    idx = np.stack(
+        [np.clip(base + rng.randint(-3, 4, (b, m)), 0, n - 1) for _ in range(k)],
+        -1,
+    )
+    miss = rng.rand(b, m, k) < 0.2
+    idx = jnp.asarray(np.where(miss, n, idx).astype(np.int32))
+    w = jnp.asarray(rng.randn(k, c, e).astype(np.float32) * 0.1)
+
+    ref = gather_gemm(feats, idx, w, 3)
+    got = fused_gather_gemm(feats, idx, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
