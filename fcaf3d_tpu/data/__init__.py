@@ -21,4 +21,5 @@ from .pipelines import (  # noqa: F401
     RandomDropPointsColor,
     RandomFlip,
     RandomJitterPoints,
+    ShiftHeight,
 )

@@ -206,3 +206,18 @@ class ObjectNameFilter:
             sample["gt_boxes"] = sample["gt_boxes"][m]
             sample["gt_labels"] = labels[m]
         return sample
+
+
+class ShiftHeight:
+    """`LoadPointsFromFile(shift_height=True)` height attribute: appends
+    z - percentile(z, 0.99-quantile floor) as an extra column (reference
+    `loading.py:418-424`). Used by the VoteNet/ImVoteNet pipelines."""
+
+    def __call__(self, sample, rng):
+        pts = sample["points"]
+        floor = np.percentile(pts[:, 2], 0.99)
+        height = (pts[:, 2] - floor).astype(np.float32)[:, None]
+        sample["points"] = np.concatenate(
+            [pts[:, :3], height, pts[:, 3:]], axis=1
+        )
+        return sample

@@ -111,3 +111,39 @@ def test_decode_vote_bbox_mobius():
     pred = jnp.asarray([[0.1, 0.2, 0.3, np.log(2.0), 0.0, 0.0, 0.0]])
     out = np.asarray(decode_vote_bbox(agg, pred))
     np.testing.assert_allclose(out[0], [0.1, 0.2, 0.3, 1.0, 1.0, 1.0, 0.0], atol=1e-5)
+
+
+def test_votenet_train_step_decreases_loss():
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.train.optim import make_optimizer
+    from fcaf3d_tpu.train.trainer import TrainState, make_votenet_train_step
+
+    cfg = votenet_tiny()
+    rng = np.random.RandomState(1)
+    pts, boxes, labels, gt_valid = synth(rng, cfg)
+    model = VoteNet(
+        n_classes=cfg.n_classes, num_proposal=cfg.num_proposal,
+        backbone_num_points=cfg.backbone_num_points,
+    )
+    variables = jax.jit(lambda k, p: model.init(k, p, train=False))(
+        jax.random.PRNGKey(0), pts)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+    step = make_votenet_train_step(model, cfg, tx)
+    batch = {"points": pts, "gt_boxes": boxes, "gt_labels": labels,
+             "gt_valid": gt_valid}
+    state, m0 = step(state, batch)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    # tiny-synthetic VoteNet training is noisy (batch-2 BN, FPS sampling);
+    # require improvement somewhere along the trajectory, not monotonicity
+    assert min(losses) < float(m0["loss"])
+    assert int(state.step) == 9
