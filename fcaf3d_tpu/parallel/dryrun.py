@@ -1,0 +1,102 @@
+"""Multi-chip dry-run worker: one full data-parallel train step on an
+`n_devices` mesh of virtual CPU devices.
+
+This is the subprocess target of `__graft_entry__.dryrun_multichip`. The
+virtual-device XLA flag must be set before the first jax backend
+initialization, and the parent process has typically already imported jax
+(often with a real TPU plugin attached), so the dry run executes in a
+fresh interpreter whose environment the parent controls. Validates the
+exact production code path: `make_train_step` over `data_mesh`
+(psum'd gradients/statistics — the TPU-native analog of the reference's
+NCCL DDP, `/root/reference/tools/dist_train.sh`, SURVEY.md §2.3).
+
+Verified to run on a single-core host (8 device threads oversubscribing
+one CPU): XLA CPU collective rendezvous is preemptively scheduled, not
+spin-locked, so oversubscription is slow (~minutes of compile) but sound.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def run(n_devices: int) -> None:
+    """Body of the dry run. Requires `n_devices` jax devices to exist."""
+    import jax
+
+    # Belt and braces: if a TPU plugin is attached in this interpreter,
+    # force the host platform (env JAX_PLATFORMS alone is not honored once
+    # a plugin registers itself).
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcaf3d_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from fcaf3d_tpu.configs import fcaf3d_nano
+    from fcaf3d_tpu.parallel import data_mesh
+    from fcaf3d_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {jax.devices()} "
+        "(xla_force_host_platform_device_count not applied?)"
+    )
+    mesh = data_mesh(devices)
+
+    cfg = fcaf3d_nano()
+    tx = make_optimizer(lr=cfg.lr, weight_decay=cfg.weight_decay,
+                        grad_clip=cfg.grad_clip, steps_per_epoch=10,
+                        lr_steps=cfg.lr_steps)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
+    step = make_train_step(model, cfg, tx, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    b, p, g = n_devices, cfg.num_points, cfg.max_gt_boxes
+    boxes = np.zeros((b, g, 7), np.float32)
+    boxes[..., :3] = rng.uniform(0.5, 1.5, (b, g, 3))
+    boxes[..., 2] = 0.0
+    boxes[..., 3:6] = rng.uniform(0.3, 0.8, (b, g, 3))
+    batch = {
+        "points": jnp.asarray(rng.uniform(0, 2.0, (b, p, 3)).astype(np.float32)),
+        "colors": jnp.asarray(rng.uniform(0, 255.0, (b, p, 3)).astype(np.float32)),
+        "valid": jnp.ones((b, p), bool),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_labels": jnp.asarray(rng.randint(0, cfg.n_classes, (b, g)).astype(np.int32)),
+        "gt_valid": jnp.ones((b, g), bool),
+    }
+    state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), metrics
+    print(f"dryrun_multichip({n_devices}): ok, loss={loss:.4f}", flush=True)
+
+
+def spawn(n_devices: int) -> None:
+    """Run `run(n_devices)` in a fresh interpreter with the virtual CPU
+    mesh provisioned via environment, regardless of the parent's jax state."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    # Replace any existing device-count flag with ours.
+    flags = " ".join(f for f in flags.split()
+                     if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "fcaf3d_tpu.parallel.dryrun", str(n_devices)],
+        env=env, cwd=repo_root,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"dryrun_multichip worker failed (rc={proc.returncode})")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -42,18 +42,13 @@ def test_single_device_train_step_decreases_loss():
 
 
 def test_data_parallel_train_step_runs():
-    import os
-
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    if (os.cpu_count() or 1) < 4:
-        # XLA CPU in-process collectives deadlock when 8 blocking rendezvous
-        # waiters can't be scheduled concurrently (thread starvation)
-        pytest.skip("needs >=4 cores for 8-way CPU-mesh collectives")
     from fcaf3d_tpu.configs import fcaf3d_nano
 
-    # nano model: CPU-mesh collectives rendezvous within the 40s timeout
-    # even with all device threads sharing one core
+    # nano model: CPU-mesh collective rendezvous is preemptively scheduled,
+    # so this runs even on a single-core host with all 8 device threads
+    # oversubscribing one CPU (slow but sound; verified on 1 core)
     cfg = fcaf3d_nano()
     tx = make_optimizer()
     model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
