@@ -51,8 +51,25 @@ class FCAF3DConfig:
 
 
 def fcaf3d_scannet() -> FCAF3DConfig:
-    """ScanNet 18-class, axis-aligned (`fcaf3d_scannet-3d-18class.py`)."""
-    return FCAF3DConfig(n_classes=18, n_reg_outs=6, with_yaw=False)
+    """ScanNet 18-class, axis-aligned (`fcaf3d_scannet-3d-18class.py`).
+
+    Voxel budgets are calibrated for the reference's ScanNet *detection*
+    data, which is extracted with `--max_num_point 50000`
+    (`/root/reference/data/scannet/README.md:7`): `IndoorPointSample(100000)`
+    then samples WITH replacement, so dedup yields at most
+    50000*(1 - e^-2) ~= 43233 unique points. Budgets are p99 + margin of the
+    per-stride unique-voxel cascade measured on room-like surface scans
+    (`tools/calibrate_budgets.py --raw-points 50000`); `overflow_max`
+    telemetry in the train log verifies them against real data.
+    """
+    return FCAF3DConfig(
+        n_classes=18,
+        n_reg_outs=6,
+        with_yaw=False,
+        input_budget=45056,
+        backbone_budgets=(43520, 39936, 27648, 11264, 3072, 1024),
+        neck_budgets=(32768, 16384, 6144, 1024),
+    )
 
 
 def fcaf3d_sunrgbd() -> FCAF3DConfig:

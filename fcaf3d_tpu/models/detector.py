@@ -46,6 +46,13 @@ class FCAF3D(nn.Module):
             budgets=c.backbone_budgets,
             name="backbone",
         )(st, train)
+        # overflow telemetry: any nonzero count means a voxel budget dropped
+        # real voxels (collect with mutable=["overflow"]; logged by the
+        # trainer as overflow_max)
+        self.sow("overflow", "input", st.dropped)
+        for i, f in enumerate(feats):
+            if f.dropped is not None:
+                self.sow("overflow", f"backbone_s{f.stride}", f.dropped)
         return Fcaf3DNeckWithHead(
             n_classes=c.n_classes,
             out_channels=c.head_out_channels,

@@ -67,11 +67,11 @@ class MEResNet3D(nn.Module):
             # one kernel map per coordinate map, shared by every conv of the
             # stage (kernel-map building dominates sparse-conv cost on TPU)
             plan_s2 = conv_plan(x, 3, 2, stage_budgets[i])
-            out_coords, out_keys, _ = plan_s2
+            out_coords, out_keys, _, drop = plan_s2
             plan_ds = (out_coords, out_keys, build_kernel_map(
-                x.keys, out_coords, kernel_offsets(1, x.stride)))
+                x.keys, out_coords, kernel_offsets(1, x.stride)), drop)
             plan_s1 = (out_coords, out_keys, build_kernel_map(
-                out_keys, out_coords, kernel_offsets(3, x.stride * 2)))
+                out_keys, out_coords, kernel_offsets(3, x.stride * 2)), drop)
             # remat each block: recompute activations in the backward pass
             block0 = nn.remat(SparseBasicBlock, static_argnums=(2,))(
                 PLANES[i], stride=2, out_budget=stage_budgets[i],

@@ -182,12 +182,12 @@ def conv_plan(
     conv cost on TPU, so reuse is a large win."""
     offs = kernel_offsets(kernel_size, st.stride)
     if stride == 1:
-        out_coords, out_keys = st.coords, st.keys
+        out_coords, out_keys, dropped = st.coords, st.keys, st.dropped
     else:
         budget = out_budget if out_budget is not None else st.capacity
-        out_coords, out_keys = downsample_coords(st, stride, budget)
+        out_coords, out_keys, dropped = downsample_coords(st, stride, budget)
     idx = build_kernel_map(st.keys, out_coords, offs)
-    return out_coords, out_keys, idx
+    return out_coords, out_keys, idx, dropped
 
 
 def sparse_conv(
@@ -214,15 +214,17 @@ def sparse_conv(
     """
     new_stride = st.stride * stride
     if kernel_size == 1 and stride == 1:
-        out_coords, out_keys = st.coords, st.keys
+        out_coords, out_keys, dropped = st.coords, st.keys, st.dropped
         out = jnp.einsum(
             "bnc,cd->bnd", st.feats, weight[0], preferred_element_type=st.feats.dtype
         )
     else:
         if plan is not None:
-            out_coords, out_keys, idx = plan
+            out_coords, out_keys, idx, dropped = plan
         else:
-            out_coords, out_keys, idx = conv_plan(st, kernel_size, stride, out_budget)
+            out_coords, out_keys, idx, dropped = conv_plan(
+                st, kernel_size, stride, out_budget
+            )
         out = gather_gemm(st.feats, idx, weight, n_chunks)
     if bias is not None:
         out = out + bias
@@ -234,6 +236,7 @@ def sparse_conv(
         shift=st.shift,
         stride=new_stride,
         is_sorted=st.is_sorted if stride == 1 else True,
+        dropped=dropped,
     )
 
 
@@ -243,7 +246,7 @@ def sparse_max_pool(
     """Max pooling (ME `MinkowskiMaxPooling` semantics; max over present
     neighbors only)."""
     budget = out_budget if out_budget is not None else st.capacity
-    out_coords, out_keys = downsample_coords(st, stride, budget)
+    out_coords, out_keys, dropped = downsample_coords(st, stride, budget)
     offs = kernel_offsets(kernel_size, st.stride)
     idx = build_kernel_map(st.keys, out_coords, offs)  # [B, M, K]
     b, n, c = st.feats.shape
@@ -259,6 +262,7 @@ def sparse_max_pool(
         keys=out_keys,
         shift=st.shift,
         stride=st.stride * stride,
+        dropped=dropped,
     )
 
 
@@ -344,7 +348,7 @@ def gen_conv_plan(parent: SparseTensor, child: SparseTensor):
     miss = j >= n_parent
     child_row = jnp.where(miss, 8 * n_parent, child_row)
     idx = child_row.reshape(parent_idx.shape[0], 8 * n_parent, 27).astype(jnp.int32)
-    return child.coords, child.keys, idx
+    return child.coords, child.keys, idx, child.dropped
 
 
 def sparse_union_add(a: SparseTensor, b: SparseTensor, budget: int = None) -> SparseTensor:
@@ -372,6 +376,7 @@ def sparse_union_add(a: SparseTensor, b: SparseTensor, budget: int = None) -> Sp
     first = (keys != prev) & (keys != SENTINEL)
     pos = jnp.cumsum(first, axis=1) - 1  # group slot for every member row
     ok = (keys != SENTINEL) & (pos < budget) & (pos >= 0)
+    dropped = jnp.sum(first & (pos >= budget), axis=1, dtype=jnp.int32)
     pos = jnp.where(ok, pos, budget)
 
     c = feats.shape[-1]
@@ -392,6 +397,7 @@ def sparse_union_add(a: SparseTensor, b: SparseTensor, budget: int = None) -> Sp
         keys=out_keys[:, :budget],
         shift=a.shift,
         stride=a.stride,
+        dropped=dropped,
     )
 
 

@@ -1,17 +1,23 @@
 """Fused gather-GEMM Pallas kernel: sparse conv without row gathers.
 
-TPU row-gathers cost ~8 cycles each and DMA issues cost ~2us, so sparse
-convs are transaction-bound. This kernel exploits kernel-map monotonicity
-(columns of kernel maps over sorted coordinate maps are near-sorted): all
-27 offsets' input rows for one output tile live in ONE contiguous window.
+TPU row-gathers cost ~8 cycles each, so XLA's gather+GEMM formulation of a
+sparse conv is transaction-bound (~5ms for a 27x24k kernel map that moves
+only ~180MB). This kernel exploits kernel-map monotonicity (columns of
+kernel maps over sorted coordinate maps are non-decreasing): all 27
+offsets' input rows for one output tile live in ONE contiguous window.
 
 Per output tile of T rows:
 1. DMA the tile's union input window (double-buffered across tiles).
-2. Per offset: slice the offset's sub-span from VMEM and *select* rows with
-   a one-hot matmul on the MXU (one-hot rows have at most a single 1, so
-   the reduction is an exact row copy), then accumulate acc @ W[k].
-   Offsets whose span exceeds the window (rare) stream extra windows
-   serially.
+2. Per offset: slice the offset's sub-span from the big window and *select*
+   rows with a one-hot matmul on the MXU (one-hot rows have at most a
+   single 1, so the reduction is an exact row copy), then accumulate
+   `acc @ W[k]` in f32. The select cost per output row is W_SUB MACs per
+   channel, and spans shrink with tile size, so (T_ROWS, W_SUB) are tuned
+   together (span p95 at 256-row tiles is ~310-370 on surface scans,
+   `tools/calibrate_budgets.py --spans`).
+3. Fallbacks, in decreasing frequency: spans wider than W_SUB chain
+   VMEM-only pieces from the big window; spans escaping the big window
+   entirely (<0.1% of (tile, offset) pairs) stream DMA windows serially.
 
 Used as the forward path of `gather_gemm`/`gen_gather_gemm` on TPU (the
 custom-VJP backwards keep the XLA scatter formulation); correctness is
@@ -26,114 +32,152 @@ import jax.numpy as jnp
 import numpy as np
 
 T_ROWS = 256  # output rows per tile
-W_SUB = 512  # per-offset sub-span (VMEM slice + one-hot width)
+W_SUB = 512  # per-piece sub-span (VMEM slice + one-hot width)
 W_BIG = 4096  # per-tile union window (one DMA per tile)
-W_STEP = W_SUB - 8  # fallback window advance (8-row alignment slack)
 
 
-def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, w_ref, out_ref,
-            big, small, sem):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _make_kernel(t_rows: int, w_sub: int, w_big: int):
+    w_step = w_sub - 8  # piece advance (8-row alignment slack)
 
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    k = idx_ref.shape[1]
-    c = small.shape[1]
-    n_rows = feats_hbm.shape[1]
+    def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, w_ref, out_ref,
+                big, small, sem):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    col_sub = jax.lax.broadcasted_iota(jnp.int32, (T_ROWS, W_SUB), 1)
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        k = idx_ref.shape[1]
+        c = small.shape[1]
+        e = w_ref.shape[2]
+        n_rows = feats_hbm.shape[1]
 
-    def big_start(tt):
-        s = jnp.maximum(0, jnp.minimum(wlo_ref[b * n_tiles + tt],
-                                       n_rows - W_BIG))
-        return pl.multiple_of((s // 8) * 8, 8)
+        col_sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, w_sub), 1)
 
-    def big_dma(slot, tt):
-        return pltpu.make_async_copy(
-            feats_hbm.at[b, pl.ds(big_start(tt), W_BIG), :],
-            big.at[slot], sem.at[slot],
-        )
+        def big_start(tt):
+            s = jnp.maximum(0, jnp.minimum(wlo_ref[b * n_tiles + tt],
+                                           n_rows - w_big))
+            return pl.multiple_of((s // 8) * 8, 8)
 
-    @pl.when(t == 0)
-    def _():
-        big_dma(0, 0).start()
-
-    slot = t % 2
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        big_dma((t + 1) % 2, t + 1).start()
-
-    big_dma(slot, t).wait()
-    win_lo = big_start(t)
-
-    def select(buf, rows, buf_start, plo, phi):
-        """Rows of `buf` [W_SUB, C] selected into [T, C] via one-hot MXU."""
-        rel = rows.reshape(T_ROWS, 1) - buf_start
-        onehot = (
-            (col_sub == rel) & (rel >= plo - buf_start) & (rel < phi - buf_start)
-        ).astype(buf.dtype)
-        return jax.lax.dot_general(
-            onehot, buf,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def offset_body(kk, out_acc):
-        flat = (b * n_tiles + t) * k + kk
-        lo = lo_ref[flat]
-        hi = hi_ref[flat]
-        rows = idx_ref[0, kk, :]  # [T]
-        fits = (lo >= win_lo) & (hi <= win_lo + W_BIG) & (hi - lo <= W_SUB - 8)
-
-        def fast(_):
-            off = jnp.clip(((lo - win_lo) // 8) * 8, 0, W_BIG - W_SUB)
-            sub = big[slot, pl.ds(pl.multiple_of(off, 8), W_SUB), :]
-            return select(sub, rows, win_lo + off, lo, hi)
-
-        def slow(_):
-            def piece(i, acc):
-                plo = lo + i * W_STEP
-                phi = jnp.minimum(hi, plo + W_STEP)
-                start = jnp.maximum(0, jnp.minimum(plo, n_rows - W_SUB))
-                start = pl.multiple_of((start // 8) * 8, 8)
-                dma = pltpu.make_async_copy(
-                    feats_hbm.at[b, pl.ds(start, W_SUB), :], small, sem.at[2]
-                )
-                dma.start()
-                dma.wait()
-                return acc + select(small[:], rows, start, plo, phi)
-
-            n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), W_STEP)
-            return jax.lax.fori_loop(
-                0, n_pieces, piece, jnp.zeros((T_ROWS, c), jnp.float32)
+        def big_dma(slot, tt):
+            return pltpu.make_async_copy(
+                feats_hbm.at[b, pl.ds(big_start(tt), w_big), :],
+                big.at[slot], sem.at[slot],
             )
 
-        acc = jax.lax.cond(fits, fast, slow, 0)
-        return out_acc + jax.lax.dot_general(
-            acc.astype(w_ref.dtype), w_ref[kk],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        @pl.when(t == 0)
+        def _():
+            big_dma(0, 0).start()
+
+        slot = t % 2
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            big_dma((t + 1) % 2, t + 1).start()
+
+        big_dma(slot, t).wait()
+        win_lo = big_start(t)
+
+        def select(buf, rel, plo, phi):
+            """One-hot select rows of `buf` [w_sub, C] into [T, C].
+
+            rel: [T, 1] row index relative to buf start; [plo, phi): row
+            bounds of this piece relative to buf start. The MXU accumulator
+            is f32; the copy itself is exact in any dtype.
+            """
+            onehot = ((col_sub == rel) & (rel >= plo) & (rel < phi)).astype(buf.dtype)
+            return jax.lax.dot_general(
+                onehot, buf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def offset_select(kk):
+            flat = (b * n_tiles + t) * k + kk
+            lo = lo_ref[flat]
+            hi = hi_ref[flat]
+            rows = idx_ref[0, kk, :].reshape(t_rows, 1)
+            fits_big = (lo >= win_lo) & (hi <= win_lo + w_big)
+            one_piece = hi - lo <= w_step
+
+            def fast1(_):
+                # common case: whole span inside one aligned sub-window
+                off = jnp.clip(((lo - win_lo) // 8) * 8, 0, w_big - w_sub)
+                sub = big[slot, pl.ds(pl.multiple_of(off, 8), w_sub), :]
+                base = win_lo + off
+                return select(sub, rows - base, lo - base, hi - base)
+
+            def fastN(_):
+                # span crosses sub-windows but stays in the big window:
+                # VMEM-only chained pieces (disjoint -> exact accumulation)
+                def piece(i, acc):
+                    astart = lo + i * w_step
+                    rstart = jnp.clip(((astart - win_lo) // 8) * 8, 0,
+                                      w_big - w_sub)
+                    sub = big[slot, pl.ds(pl.multiple_of(rstart, 8), w_sub), :]
+                    base = win_lo + rstart
+                    phi = jnp.minimum(hi, astart + w_step) - base
+                    return acc + select(sub, rows - base, astart - base, phi)
+
+                n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), w_step)
+                return jax.lax.fori_loop(
+                    0, n_pieces, piece, jnp.zeros((t_rows, c), jnp.float32)
+                )
+
+            def slow(_):
+                # span escapes the big window: stream DMA pieces (rare)
+                def piece(i, acc):
+                    astart = lo + i * w_step
+                    start = jnp.maximum(0, jnp.minimum(astart, n_rows - w_sub))
+                    start = pl.multiple_of((start // 8) * 8, 8)
+                    dma = pltpu.make_async_copy(
+                        feats_hbm.at[b, pl.ds(start, w_sub), :], small,
+                        sem.at[2],
+                    )
+                    dma.start()
+                    dma.wait()
+                    phi = jnp.minimum(hi, astart + w_step) - start
+                    return acc + select(small[:], rows - start,
+                                        astart - start, phi)
+
+                n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), w_step)
+                return jax.lax.fori_loop(
+                    0, n_pieces, piece, jnp.zeros((t_rows, c), jnp.float32)
+                )
+
+            return jax.lax.cond(
+                fits_big & one_piece, fast1,
+                lambda u: jax.lax.cond(fits_big, fastN, slow, u), 0,
+            )
+
+        def offset_body(kk, out_acc):
+            acc = offset_select(kk)
+            return out_acc + jax.lax.dot_general(
+                acc.astype(w_ref.dtype), w_ref[kk],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        out_acc = jax.lax.fori_loop(
+            0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
         )
+        out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
 
-    e = w_ref.shape[2]
-    out_acc = jax.lax.fori_loop(
-        0, k, offset_body, jnp.zeros((T_ROWS, e), jnp.float32)
-    )
-    out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big")
+)
+def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
+                  t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, m = idx.shape
     c = feats_pad.shape[-1]
     e = weight.shape[-1]
-    n_tiles = m // T_ROWS
+    n_tiles = m // t_rows
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -141,7 +185,7 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
             pl.BlockSpec(
-                (1, k, T_ROWS), lambda bb, tt, *_: (bb, 0, tt),
+                (1, k, t_rows), lambda bb, tt, *_: (bb, 0, tt),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -149,33 +193,38 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, T_ROWS, e), lambda bb, tt, *_: (bb, tt, 0),
+            (1, t_rows, e), lambda bb, tt, *_: (bb, tt, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, W_BIG, c), feats_pad.dtype),
-            pltpu.VMEM((W_SUB, c), feats_pad.dtype),
+            pltpu.VMEM((2, w_big, c), feats_pad.dtype),
+            pltpu.VMEM((w_sub, c), feats_pad.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(t_rows, w_sub, w_big),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, m, e), feats_pad.dtype),
         interpret=interpret,
     )(wlo.reshape(-1), lo.reshape(-1), hi.reshape(-1), feats_pad, idx, weight)
 
 
-def fused_gather_gemm(feats, idx, weight, interpret=None):
+def fused_gather_gemm(feats, idx, weight, interpret=None,
+                      t_rows=None, w_sub=None, w_big=None):
     """out[b, m] = sum_k feats[b, idx[b, m, k]] @ weight[k]; miss rows
     (idx == N) contribute zero. Drop-in forward for `gather_gemm`.
 
     Args:
         feats: [B, N, C]; idx: [B, M, K] int32 in [0, N]; weight: [K, C, E].
+        t_rows/w_sub/w_big: tile/window overrides (see module docstring).
     """
     b, n, c = feats.shape
     _, m, k = idx.shape
     e = weight.shape[-1]
+    t_rows = t_rows or T_ROWS
+    w_sub = w_sub or W_SUB
+    w_big = w_big or W_BIG
     use_pallas = interpret is True or (
         interpret is None and jax.default_backend() == "tpu"
     )
@@ -192,19 +241,19 @@ def fused_gather_gemm(feats, idx, weight, interpret=None):
         c = c + c_pad
     feats_pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
     rows = feats_pad.shape[1]
-    if rows < W_BIG or rows % 8:
-        extra = max(W_BIG - rows, (-rows) % 8)
+    if rows < w_big or rows % 8:
+        extra = max(w_big - rows, (-rows) % 8)
         feats_pad = jnp.concatenate(
             [feats_pad, jnp.zeros((b, extra, c), feats.dtype)], axis=1
         )
 
-    pad_m = (-m) % T_ROWS
+    pad_m = (-m) % t_rows
     idx_p = idx
     if pad_m:
         idx_p = jnp.pad(idx, ((0, 0), (0, pad_m), (0, 0)), constant_values=n)
     mp = idx_p.shape[1]
 
-    tiles = idx_p.reshape(b, mp // T_ROWS, T_ROWS, k)
+    tiles = idx_p.reshape(b, mp // t_rows, t_rows, k)
     valid = tiles < n
     big = jnp.int32(2 ** 30)
     lo = jnp.min(jnp.where(valid, tiles, big), axis=2)  # [B, nt, K]
@@ -216,6 +265,7 @@ def fused_gather_gemm(feats, idx, weight, interpret=None):
     # dynamic index (lane-dim dynamic indexing is not allowed)
     idx_t = jnp.swapaxes(idx_p, 1, 2)
     out = _fused_pallas(
-        feats_pad, idx_t, weight, wlo, lo, hi, interpret=bool(interpret)
+        feats_pad, idx_t, weight, wlo, lo, hi, interpret=bool(interpret),
+        t_rows=t_rows, w_sub=w_sub, w_big=w_big,
     )
     return out[:, :m]

@@ -54,6 +54,11 @@ class SparseTensor:
     # maps don't need binary search); such tensors must not be used with
     # `lookup` until re-sorted (e.g. by sparse_union_add)
     is_sorted: bool = struct.field(pytree_node=False, default=True)
+    # overflow telemetry: [B] int32 count of valid voxels dropped when THIS
+    # coordinate map was built because the row budget was too small (the
+    # reference's dynamic maps never drop, so any nonzero count flags a
+    # mis-calibrated budget). None = exact map (no compaction happened).
+    dropped: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -134,15 +139,17 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
         budget: output rows per sample.
 
     Returns:
-        (coords [B, budget, 3], keys [B, budget], src_idx [B, budget]) where
-        src_idx maps each output row to its source row (budget-filled with N
-        for padding rows).
+        (coords [B, budget, 3], keys [B, budget], src_idx [B, budget],
+        dropped [B]) where src_idx maps each output row to its source row
+        (budget-filled with N for padding rows) and dropped counts unique
+        keys lost to the budget (overflow telemetry).
     """
     b, n = keys.shape
     prev = jnp.concatenate([jnp.full((b, 1), SENTINEL, keys.dtype), keys[:, :-1]], axis=1)
     first = (keys != prev) & (keys != SENTINEL)
     pos = jnp.cumsum(first, axis=1) - 1  # target row (valid where first)
     ok = first & (pos < budget)
+    dropped = jnp.sum(first & (pos >= budget), axis=1, dtype=jnp.int32)
     pos = jnp.where(ok, pos, budget)  # dump overflow/non-first into slot `budget`
 
     out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
@@ -157,7 +164,7 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
             jnp.where(ok, jnp.arange(n, dtype=jnp.int32)[None, :], n), (b, n)
         ),
     )
-    return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget]
+    return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget], dropped
 
 
 def lookup(
@@ -222,14 +229,24 @@ def voxelize(
     keys = encode_coords(coords)
     keys = jnp.where(valid, keys, SENTINEL)
 
-    coords, features, keys = sort_rows(coords, features, keys)
-    out_coords, out_keys, src = compact_unique(coords, keys, budget)
+    # sort only (coords, keys); gather features once at the end by composing
+    # src through the sort order (saves a [B, P, C] gather on the hot path)
+    order = jnp.argsort(keys, axis=-1, stable=True)
+    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
+    keys = jnp.take_along_axis(keys, order, axis=1)
+    out_coords, out_keys, src, dropped = compact_unique(coords, keys, budget)
+    p = order.shape[1]
+    order_pad = jnp.concatenate(
+        [order, jnp.full((order.shape[0], 1), p, order.dtype)], axis=1
+    )
+    src_orig = jnp.take_along_axis(order_pad, src, axis=1)  # [B, budget] in [0, P]
     bpad = jnp.concatenate(
         [features, jnp.zeros_like(features[:, :1])], axis=1
     )  # row P = zeros for padding rows
-    out_feats = jnp.take_along_axis(bpad, src[..., None], axis=1)
+    out_feats = jnp.take_along_axis(bpad, src_orig[..., None], axis=1)
     return SparseTensor(
-        coords=out_coords, feats=out_feats, keys=out_keys, shift=shift, stride=1
+        coords=out_coords, feats=out_feats, keys=out_keys, shift=shift, stride=1,
+        dropped=dropped,
     )
 
 
@@ -240,7 +257,7 @@ def downsample_coords(st: SparseTensor, factor: int, budget: int):
     on the coarser lattice.
 
     Returns:
-        (coords [B, budget, 3], keys [B, budget]) sorted by key.
+        (coords [B, budget, 3], keys [B, budget], dropped [B]) sorted by key.
     """
     new_stride = st.stride * factor
     c = (st.coords // new_stride) * new_stride
@@ -248,5 +265,5 @@ def downsample_coords(st: SparseTensor, factor: int, budget: int):
     keys = encode_coords(c)
     keys = jnp.where(st.valid, keys, SENTINEL)
     c, _, keys = sort_rows(c, None, keys)
-    out_coords, out_keys, _ = compact_unique(c, keys, budget)
-    return out_coords, out_keys
+    out_coords, out_keys, _, dropped = compact_unique(c, keys, budget)
+    return out_coords, out_keys, dropped

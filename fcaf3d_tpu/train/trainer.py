@@ -69,15 +69,16 @@ def make_train_step(
                 batch["colors"],
                 batch["valid"],
                 train=True,
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "overflow"],
             )
             losses = fcaf3d_loss(
                 outs, batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"], lcfg
             )
             total = losses["loss_cls"] + losses["loss_centerness"] + losses["loss_bbox"]
-            return total, (losses, mutated["batch_stats"])
+            overflow = mutated.get("overflow", {})
+            return total, (losses, mutated["batch_stats"], overflow)
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
+        (total, (losses, new_stats, overflow)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -85,6 +86,16 @@ def make_train_step(
         metrics = dict(losses)
         metrics["loss"] = total
         metrics["grad_norm"] = optax.global_norm(grads)
+        # budget-overflow telemetry: voxels dropped by a too-small budget
+        # anywhere in the cascade (the reference's dynamic maps never drop;
+        # nonzero here means re-calibrate configs.*_budgets)
+        drop_leaves = [
+            jnp.max(x) for x in jax.tree_util.tree_leaves(overflow) if x is not None
+        ]
+        metrics["overflow_max"] = (
+            jnp.max(jnp.stack(drop_leaves)) if drop_leaves
+            else jnp.zeros((), jnp.int32)
+        )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
