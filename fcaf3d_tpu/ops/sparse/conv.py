@@ -73,8 +73,8 @@ def build_kernel_map(
     return jnp.swapaxes(idx, 1, 2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gather_gemm(feats, idx, weight, n_chunks: int = 3):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gather_gemm(feats, idx, weight, n_chunks: int = 3, sorted_map: bool = True):
     """out[b,m] = sum_k feats[b, idx[b,m,k]] @ weight[k]  (miss rows -> 0).
 
     Args:
@@ -83,8 +83,12 @@ def gather_gemm(feats, idx, weight, n_chunks: int = 3):
         weight: [K, Cin, Cout].
         n_chunks: split the K offsets into chunks to bound the transient
             gathered activation ([B, M, K/n_chunks, Cin]) in HBM.
+        sorted_map: whether idx columns are near-monotone (sorted coordinate
+            maps); gates the windowed Pallas kernel, whose fast path relies
+            on bounded per-tile spans (parent-major maps would DMA-storm
+            its fallback).
     """
-    return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks)
+    return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map)
 
 
 def _gather_rows(feats, idx):
@@ -97,17 +101,18 @@ def _gather_rows(feats, idx):
 
 
 def _use_fused_conv():
-    """The fused Pallas conv currently ties XLA's gather+GEMM on v5e (both
-    are matmul-throughput-bound); keep it opt-in until it wins."""
+    """Fused Pallas gather-GEMM: ~1.5x over XLA's gather+GEMM on C>=128
+    shapes and >=parity elsewhere on v5e (tools/bench_gather.py); default on
+    for TPU, opt out with FCAF3D_FUSED_CONV=0."""
     import os
 
-    return os.environ.get("FCAF3D_FUSED_CONV") == "1" and (
+    return os.environ.get("FCAF3D_FUSED_CONV", "1") != "0" and (
         jax.default_backend() == "tpu"
     )
 
 
-def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks):
-    if _use_fused_conv():
+def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map=True):
+    if sorted_map and _use_fused_conv():
         from .gather_kernel import fused_gather_gemm
 
         return fused_gather_gemm(feats, idx, weight)
@@ -133,11 +138,14 @@ def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks):
     return out
 
 
-def _gather_gemm_fwd(feats, idx, weight, n_chunks):
-    return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks), (feats, idx, weight)
+def _gather_gemm_fwd(feats, idx, weight, n_chunks, sorted_map):
+    return (
+        _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map),
+        (feats, idx, weight),
+    )
 
 
-def _gather_gemm_bwd(n_chunks, res, dout):
+def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
     feats, idx, weight = res
     b, n, cin = feats.shape
     k = weight.shape[0]
@@ -225,7 +233,7 @@ def sparse_conv(
             out_coords, out_keys, idx, dropped = conv_plan(
                 st, kernel_size, stride, out_budget
             )
-        out = gather_gemm(st.feats, idx, weight, n_chunks)
+        out = gather_gemm(st.feats, idx, weight, n_chunks, st.is_sorted)
     if bias is not None:
         out = out + bias
     out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
@@ -560,10 +568,6 @@ def _gen_fwd_impl(child_feats, parent_idx, weight, p_chunk):
     b, p, k = parent_idx.shape
     c = child_feats.shape[-1]
     e = weight.shape[-1]
-    if _use_fused_conv():
-        from .gather_kernel import fused_gather_gemm
-
-        return fused_gather_gemm(child_feats, _gen_child_idx(parent_idx), weight)
     if p_chunk == 0:  # bound the routed temp to ~64k*216 elements per chunk
         p_chunk = max(128, 65536 // c)
     blocks = child_feats.reshape(b, p, 8 * c)

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_ROWS = 256  # output rows per tile
-W_SUB = 512  # per-piece sub-span (VMEM slice + one-hot width)
+T_ROWS = 512  # output rows per tile
+W_SUB = 640  # per-piece sub-span (VMEM slice + one-hot width)
 W_BIG = 4096  # per-tile union window (one DMA per tile)
 
 
