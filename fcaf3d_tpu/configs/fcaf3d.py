@@ -24,6 +24,11 @@ class FCAF3DConfig:
     voxel_size: float = 0.01
     yaw_parametrization: str = "fcaf3d"
     with_yaw: bool = False
+    # neck ordering: "prune_early" (TPU-native, prune children by coarse
+    # scores BEFORE the up conv) or "reference" (conv over all 8P children,
+    # union-add, then prune — exact reference semantics for parity runs)
+    neck_mode: str = "prune_early"
+
     # activation dtype on the conv path (params stay f32); bf16 doubles MXU
     # rate and halves gather/scatter HBM traffic on TPU
     compute_dtype: str = "bfloat16"

@@ -84,10 +84,16 @@ class SparseGenerativeTranspose(nn.Module):
     kernel_init: Callable = _kaiming_kernel_init
 
     @nn.compact
-    def __call__(self, st: SparseTensor) -> SparseTensor:
+    def __call__(self, st: SparseTensor, raw: bool = False):
+        """With raw=True, returns (coords, keys, feats) parent-major without
+        building a SparseTensor (prune-early neck path)."""
         w = self.param(
             "kernel", self.kernel_init, (8, st.num_channels, self.out_channels)
         )
+        if raw:
+            from ..ops.sparse.neck_ops import gen_children
+
+            return gen_children(st, w.astype(st.feats.dtype))
         return generative_transpose_conv2x2(
             st, w.astype(st.feats.dtype), sort_output=self.sort_output
         )

@@ -59,6 +59,7 @@ class FCAF3D(nn.Module):
             n_reg_outs=c.n_reg_outs,
             voxel_size=c.voxel_size,
             neck_budgets=c.neck_budgets[: c.n_outs],
+            neck_mode=c.neck_mode,
             name="neck_with_head",
         )(feats, train)
 

@@ -32,12 +32,13 @@ from flax import linen as nn
 from ..core.nms import nms_bev
 from ..ops.sparse.conv import (
     build_kernel_map,
+    build_kernel_map_self,
     interpolate_at,
     kernel_offsets,
     sparse_prune,
     sparse_union_add,
 )
-from ..ops.sparse.tensor import SparseTensor
+from ..ops.sparse.tensor import SENTINEL, SparseTensor
 from .assigner import fcaf3d_assign
 from .blocks import (
     SparseBatchNorm,
@@ -75,13 +76,31 @@ class HeadLevelOutput(NamedTuple):
 
 class Fcaf3DNeckWithHead(nn.Module):
     """See module docstring. `neck_budgets[i]` is the post-prune row budget of
-    level i (i < n_levels - 1); the deepest level keeps its backbone budget."""
+    level i (i < n_levels - 1); the deepest level keeps its backbone budget.
+
+    neck_mode:
+        "prune_early" (default, TPU-native): prune the generated children by
+        the coarse level's interpolated score BEFORE the up-block conv3 (the
+        mask depends only on coordinates + coarse scores, reference
+        `_prune` `:110-126`), force-keep lateral-backed children so the
+        union-add degenerates to a scatter-add, and reuse one symmetric
+        kernel map per level for both the up conv3 and out conv3. ~3x
+        cheaper; differs from the reference only in that pruned-away
+        children contribute zero to conv3 neighborhoods (and BN batch
+        statistics during training are computed over kept rows).
+
+        "reference": exact reference ordering — conv3 over ALL 8P children,
+        union-add, then prune. Use for checkpoint-parity evaluation.
+
+    Both modes share identical parameter shapes and names.
+    """
 
     n_classes: int
     out_channels: int = 128
     n_reg_outs: int = 6
     voxel_size: float = 0.01
     neck_budgets: Sequence[int] = (32768, 16384, 4096, 1024)
+    neck_mode: str = "prune_early"
 
     def _up_block(self, i, out_ch):
         """MinkowskiGenerativeConvolutionTranspose k2 s2 + BN + ELU + conv3 +
@@ -104,12 +123,87 @@ class Fcaf3DNeckWithHead(nn.Module):
         return apply
 
     def _out_block(self, i):
-        def apply(x, train):
-            x = SparseConv(self.out_channels, 3, name=f"out_block_{i}_conv")(x)
+        def apply(x, plan, train):
+            x = SparseConv(self.out_channels, 3, name=f"out_block_{i}_conv")(
+                x, plan=plan
+            )
             x = SparseBatchNorm(name=f"out_block_{i}_bn")(x, train)
             return sparse_elu(x)
 
         return apply
+
+    def _up_level_pruned(self, i, parent, parent_kmap, scores_st, lateral, train):
+        """Prune-early up level (see class docstring): generate child coords,
+        prune by statically-interpolated coarse scores (force-keeping
+        lateral-backed children), sort, then run the up-block convs on the
+        pruned map and scatter-add the lateral. Returns (level map, its
+        symmetric kernel map — shared with this level's out conv)."""
+        from ..ops.sparse.neck_ops import (
+            child_prune_scores,
+            compact_select,
+            lateral_child_rows,
+            sort_tensor,
+            threshold_select,
+        )
+        from ..ops.sparse.tensor import (
+            batched_scatter_add,
+            batched_scatter_set,
+            lookup,
+        )
+
+        budget = self.neck_budgets[i]
+        out_ch = lateral.num_channels
+        b, p = parent.keys.shape
+
+        coords, keys, feats = SparseGenerativeTranspose(
+            out_ch, name=f"up_block_{i + 1}_tr"
+        )(parent, raw=True)
+
+        # prune mask from coordinates + coarse scores only (no_grad in the
+        # reference, `_prune` `:110-118`)
+        cs = child_prune_scores(
+            jax.lax.stop_gradient(scores_st.feats.astype(jnp.float32)),
+            parent_kmap,
+        )
+        lat_rows = lateral_child_rows(parent, lateral)  # [B, L] in [0, 8P]
+        must = jnp.zeros((b, 8 * p + 1), bool)
+        must = batched_scatter_set(
+            must, lat_rows, jnp.broadcast_to(lateral.valid, lat_rows.shape)
+        )[:, : 8 * p]
+        keep = threshold_select(cs, keys != SENTINEL, budget, must_keep=must)
+        c2, k2, f2, _ = compact_select(coords, keys, feats, keep, budget)
+        x = SparseTensor(
+            coords=c2, feats=f2, keys=k2, shift=parent.shift,
+            stride=parent.stride // 2, is_sorted=False,
+        )
+        x = sort_tensor(x)
+
+        kmap = build_kernel_map_self(x.keys, x.coords, x.stride)
+        plan = (x.coords, x.keys, kmap, None)
+
+        def up_rest(mdl, x, plan, train):
+            x = SparseBatchNorm(name=f"up_block_{i + 1}_bn1")(x, train)
+            x = sparse_elu(x)
+            x = SparseConv(out_ch, 3, name=f"up_block_{i + 1}_conv")(x, plan=plan)
+            x = SparseBatchNorm(name=f"up_block_{i + 1}_bn2")(x, train)
+            return sparse_elu(x)
+
+        x = nn.remat(up_rest, static_argnums=(3,))(self, x, plan, train)
+
+        # lateral addition: by induction (must_keep at every level) every
+        # lateral voxel is present in the pruned map, so the reference's
+        # union-add (`x + inputs[i]`, `:101`) is a pure scatter-add
+        lrow = lookup(x.keys, lateral.keys)  # [B, L] in [0, budget]
+        fpad = jnp.zeros((b, budget + 1, x.num_channels), x.feats.dtype)
+        scattered = batched_scatter_add(
+            fpad, lrow, lateral.feats.astype(x.feats.dtype)
+        )[:, :budget]
+        x = x.with_feats(x.feats + scattered)
+        # telemetry: laterals that vanished (budget < lateral count or a
+        # broken induction chain) — the reference never loses laterals
+        missed = jnp.sum((lrow >= budget) & lateral.valid, axis=1, dtype=jnp.int32)
+        self.sow("overflow", f"neck_lateral_missed_{i}", missed)
+        return x, kmap
 
     @nn.compact
     def __call__(
@@ -134,23 +228,33 @@ class Fcaf3DNeckWithHead(nn.Module):
         outs = [None] * n
         x = inputs[-1]
         scores_st = None
+        kmap = None
         for i in range(n - 1, -1, -1):
             if i < n - 1:
-                # remat: recompute up-block activations in the backward pass
-                up = nn.remat(
-                    lambda mdl, xx, tr, _i=i: mdl._up_block(_i + 1,
-                        inputs[_i].num_channels)(xx, tr),
-                    static_argnums=(2,),
-                )
-                x = up(self, x, train)
-                # union add: laterals whose parent voxel was pruned survive
-                x = sparse_union_add(x, inputs[i])
-                x = self._prune(x, scores_st, self.neck_budgets[i])
+                if self.neck_mode == "prune_early":
+                    x, kmap = self._up_level_pruned(
+                        i, x, kmap, scores_st, inputs[i], train
+                    )
+                else:
+                    # remat: recompute up-block activations in the backward
+                    up = nn.remat(
+                        lambda mdl, xx, tr, _i=i: mdl._up_block(_i + 1,
+                            inputs[_i].num_channels)(xx, tr),
+                        static_argnums=(2,),
+                    )
+                    x = up(self, x, train)
+                    # union add: laterals whose parent was pruned survive
+                    x = sparse_union_add(x, inputs[i])
+                    x = self._prune(x, scores_st, self.neck_budgets[i])
+                    kmap = None
+            if kmap is None and self.neck_mode == "prune_early":
+                kmap = build_kernel_map_self(x.keys, x.coords, x.stride)
+            plan = (x.coords, x.keys, kmap, None) if kmap is not None else None
             out_blk = nn.remat(
-                lambda mdl, xx, tr, _i=i: mdl._out_block(_i)(xx, tr),
-                static_argnums=(2,),
+                lambda mdl, xx, pp, tr, _i=i: mdl._out_block(_i)(xx, pp, tr),
+                static_argnums=(3,),
             )
-            out = out_blk(self, x, train)
+            out = out_blk(self, x, plan, train)
 
             centerness = centerness_conv(out)
             cls = cls_conv(out)

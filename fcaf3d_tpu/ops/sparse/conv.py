@@ -73,6 +73,31 @@ def build_kernel_map(
     return jnp.swapaxes(idx, 1, 2)
 
 
+def build_kernel_map_self(
+    keys: jnp.ndarray, coords: jnp.ndarray, stride: int
+) -> jnp.ndarray:
+    """k3 s1 submanifold kernel map on the map's OWN coordinates, using
+    offset symmetry: offsets come in (+d, -d) pairs, and over a shared
+    in/out map `idx_{+d}[m] = j  <=>  idx_{-d}[j] = m`, so only 13 of the
+    27 offsets need binary searches — the mirrors are int32 scatter
+    inversions and the center offset is the identity.
+    """
+    b, n = keys.shape
+    offs = kernel_offsets(3, stride)  # product order: offs[26 - k] == -offs[k]
+    idx_half = build_kernel_map(keys, coords, offs[:13])  # [B, N, 13]
+    valid = keys != SENTINEL
+    cols = [None] * 27
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+    miss = jnp.full((b, n + 1), n, jnp.int32)
+    for k in range(13):
+        fwd = idx_half[:, :, k]
+        cols[k] = fwd
+        inv = batched_scatter_set(miss, fwd, rows)[:, :n]
+        cols[26 - k] = jnp.where(valid, inv, n)
+    cols[13] = jnp.where(valid, rows, n)  # center offset: identity
+    return jnp.stack(cols, axis=-1)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def gather_gemm(feats, idx, weight, n_chunks: int = 3, sorted_map: bool = True):
     """out[b,m] = sum_k feats[b, idx[b,m,k]] @ weight[k]  (miss rows -> 0).
