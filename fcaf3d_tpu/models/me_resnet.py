@@ -15,7 +15,12 @@ from typing import Sequence, Tuple
 
 from flax import linen as nn
 
-from ..ops.sparse.conv import build_kernel_map, conv_plan, kernel_offsets
+from ..ops.sparse.conv import (
+    build_kernel_map,
+    build_kernel_map_self,
+    conv_plan,
+    kernel_offsets,
+)
 from ..ops.sparse.tensor import SparseTensor
 from .blocks import (
     SparseBasicBlock,
@@ -70,8 +75,9 @@ class MEResNet3D(nn.Module):
             out_coords, out_keys, _, drop = plan_s2
             plan_ds = (out_coords, out_keys, build_kernel_map(
                 x.keys, out_coords, kernel_offsets(1, x.stride)), drop)
-            plan_s1 = (out_coords, out_keys, build_kernel_map(
-                out_keys, out_coords, kernel_offsets(3, x.stride * 2)), drop)
+            # self kernel map: offset symmetry halves the binary searches
+            plan_s1 = (out_coords, out_keys, build_kernel_map_self(
+                out_keys, out_coords, x.stride * 2), drop)
             # remat each block: recompute activations in the backward pass
             block0 = nn.remat(SparseBasicBlock, static_argnums=(2,))(
                 PLANES[i], stride=2, out_budget=stage_budgets[i],

@@ -137,7 +137,10 @@ def _use_fused_conv():
 
 
 def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map=True):
-    if sorted_map and _use_fused_conv():
+    # the windowed kernel pads channels to 128 lanes, so narrow convs pay
+    # ~2x select waste and XLA's gather wins (measured on real stage maps);
+    # route by input width
+    if sorted_map and feats.shape[-1] >= 96 and _use_fused_conv():
         from .gather_kernel import fused_gather_gemm
 
         return fused_gather_gemm(feats, idx, weight)
