@@ -2,6 +2,8 @@ from .fcaf3d import (  # noqa: F401
     FCAF3DConfig,
     fcaf3d_s3dis,
     fcaf3d_scannet,
+    fcaf3d_scannet_2scales,
+    fcaf3d_scannet_3scales,
     fcaf3d_sunrgbd,
     fcaf3d_nano,
     fcaf3d_tiny,

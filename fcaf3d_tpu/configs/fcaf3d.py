@@ -77,6 +77,31 @@ def fcaf3d_scannet() -> FCAF3DConfig:
     )
 
 
+def fcaf3d_scannet_3scales() -> FCAF3DConfig:
+    """HDResNet34:3 fast variant (`fcaf3d_3scales_scannet-3d-18class.py`):
+    3 output scales, same 1cm voxels; reference reports 69.8/53.6 mAP at
+    12.2 scenes/s (`/root/reference/README.md:92`)."""
+    return dataclasses.replace(fcaf3d_scannet(), n_outs=3)
+
+
+def fcaf3d_scannet_2scales() -> FCAF3DConfig:
+    """HDResNet34:2 fast variant (`fcaf3d_2scales_scannet-3d-18class.py`):
+    2 output scales at 2cm voxels; reference reports 63.1/46.8 mAP at
+    31.5 scenes/s (`/root/reference/README.md:93`).
+
+    Budgets follow the calibrated 1cm cascade scaled to 2cm occupancy
+    (~0.45x unique voxels on room-like surface scans, same per-stride decay;
+    `overflow_max` telemetry validates on real data)."""
+    return dataclasses.replace(
+        fcaf3d_scannet(),
+        n_outs=2,
+        voxel_size=0.02,
+        input_budget=22528,
+        backbone_budgets=(21504, 19456, 13312, 5632, 2048, 1024),
+        neck_budgets=(16384, 8192),
+    )
+
+
 def fcaf3d_sunrgbd() -> FCAF3DConfig:
     """SUN RGB-D 10-class, rotated boxes (`fcaf3d_sunrgbd-3d-10class.py`)."""
     return FCAF3DConfig(n_classes=10, n_reg_outs=8, with_yaw=True)

@@ -10,6 +10,9 @@ from typing import Tuple
 
 @dataclasses.dataclass(frozen=True)
 class VoteNetConfig:
+    # "v2" = Mobius direct regression (votenet-v2 configs); "v1" = upstream
+    # bin-based VoteHead + PartialBinBasedBBoxCoder
+    head_version: str = "v2"
     n_classes: int = 10
     n_reg_outs: int = 7
     yaw_parametrization: str = "fcaf3d"
@@ -41,6 +44,26 @@ class VoteNetConfig:
 
 def votenet_sunrgbd() -> VoteNetConfig:
     return VoteNetConfig()
+
+
+def votenet_v1_sunrgbd() -> VoteNetConfig:
+    """Upstream bin-based VoteNet recipe
+    (`configs/votenet/votenet_16x8_sunrgbd-3d-10class.py`): same data/
+    schedule as v2; the head/coder come from `models.votenet_v1`
+    (`sunrgbd_coder()`: 12 direction bins, 10 size classes)."""
+    return VoteNetConfig(head_version="v1")
+
+
+def votenet_v1_scannet() -> VoteNetConfig:
+    """`configs/votenet/votenet_8x8_scannet-3d-18class.py`: 18 classes,
+    axis-aligned (`scannet_coder()`), 40k points with color-free xyz+height."""
+    return VoteNetConfig(
+        head_version="v1",
+        n_classes=18,
+        with_yaw=False,
+        num_points=40000,
+        batch_size=8,
+    )
 
 
 def votenet_tiny() -> VoteNetConfig:

@@ -27,54 +27,81 @@ W_KEYS = 2048  # key window per DMA (start 128-aligned for Mosaic slicing)
 W_STEP = W_KEYS - 128  # effective advance per window (alignment slack)
 
 
-def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _make_kernel(miss_val: int):
+    """miss_val < 0 -> plain searchsorted positions; miss_val >= 0 -> hit-
+    verified lookup: rows whose query has no exact key match (or is the
+    SENTINEL) return `miss_val` instead of the insertion position. Doing the
+    equality test inside the window scan makes the separate hit-check gather
+    (`take_along_axis(keys, idx) == q`, ~2GB/s on TPU) unnecessary — it was
+    the single largest cost of the round-1 forward pass."""
 
-    b = pl.program_id(0)
-    c = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-    segs = q_ref.shape[1]
-    n_keys = keys_hbm.shape[2]  # padded to >= W_KEYS
+    def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    def seg_body(s, _):
-        flat = (b * segs + s) * n_chunks + c
-        start = starts_ref[flat]
-        end = ends_ref[flat]
-        q = q_ref[0, s, :]  # [T]
-        qT = q.reshape(T_QUERIES, 1)
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        n_chunks = pl.num_programs(1)
+        segs = q_ref.shape[1]
+        n_keys = keys_hbm.shape[2]  # padded to >= W_KEYS
 
-        n_pieces = pl.cdiv(end - start, W_STEP)
+        def seg_body(s, _):
+            flat = (b * segs + s) * n_chunks + c
+            start = starts_ref[flat]
+            end = ends_ref[flat]
+            q = q_ref[0, s, :]  # [T]
+            qT = q.reshape(T_QUERIES, 1)
 
-        def body(i, count):
-            lo = start + i * W_STEP
-            hi = jnp.minimum(end, lo + W_STEP)
-            # 128-aligned, in-bounds DMA window; masking recovers [lo, hi)
-            piece = jnp.maximum(0, jnp.minimum(lo, n_keys - W_KEYS))
-            piece = pl.multiple_of((piece // 128) * 128, 128)
-            dma = pltpu.make_async_copy(
-                keys_hbm.at[b, pl.ds(0, 1), pl.ds(piece, W_KEYS)], scratch, sem
+            n_pieces = pl.cdiv(end - start, W_STEP)
+
+            def body(i, carry):
+                count_lt, count_le = carry
+                lo = start + i * W_STEP
+                hi = jnp.minimum(end, lo + W_STEP)
+                # 128-aligned, in-bounds DMA window; masking recovers [lo, hi)
+                piece = jnp.maximum(0, jnp.minimum(lo, n_keys - W_KEYS))
+                piece = pl.multiple_of((piece // 128) * 128, 128)
+                dma = pltpu.make_async_copy(
+                    keys_hbm.at[b, pl.ds(0, 1), pl.ds(piece, W_KEYS)], scratch,
+                    sem,
+                )
+                dma.start()
+                dma.wait()
+                kw = scratch[0, :]  # [W]
+                pos = piece + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, W_KEYS), 1)[0]
+                in_range = (pos >= lo) & (pos < hi)
+                kw = jnp.where(in_range, kw, jnp.uint32(0xFFFFFFFF))
+                kwr = kw.reshape(1, W_KEYS)
+                count_lt = count_lt + jnp.sum(
+                    (kwr < qT).astype(jnp.int32), axis=1)
+                if miss_val >= 0:
+                    # count_le - count_lt > 0 <=> an exact match exists;
+                    # masked-out positions are SENTINEL, and SENTINEL
+                    # queries are rejected after the loop
+                    count_le = count_le + jnp.sum(
+                        (kwr <= qT).astype(jnp.int32), axis=1)
+                return count_lt, count_le
+
+            zeros = jnp.zeros((T_QUERIES,), jnp.int32)
+            count_lt, count_le = jax.lax.fori_loop(
+                0, n_pieces, body, (zeros, zeros)
             )
-            dma.start()
-            dma.wait()
-            kw = scratch[0, :]  # [W]
-            pos = piece + jax.lax.broadcasted_iota(jnp.int32, (1, W_KEYS), 1)[0]
-            in_range = (pos >= lo) & (pos < hi)
-            kw = jnp.where(in_range, kw, jnp.uint32(0xFFFFFFFF))
-            cmp = (kw.reshape(1, W_KEYS) < qT).astype(jnp.int32)  # [T, W]
-            return count + jnp.sum(cmp, axis=1)
+            idx = start + count_lt
+            if miss_val >= 0:
+                hit = (count_le > count_lt) & (q != jnp.uint32(0xFFFFFFFF))
+                idx = jnp.where(hit, idx, miss_val)
+            out_ref[0, s, :] = idx
+            return 0
 
-        count = jax.lax.fori_loop(
-            0, n_pieces, body, jnp.zeros((T_QUERIES,), jnp.int32)
-        )
-        out_ref[0, s, :] = start + count
-        return 0
+        jax.lax.fori_loop(0, segs, seg_body, 0)
 
-    jax.lax.fori_loop(0, segs, seg_body, 0)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _searchsorted_pallas(keys, queries, starts, ends, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "miss_val"))
+def _searchsorted_pallas(keys, queries, starts, ends, interpret=False,
+                         miss_val=-1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -104,23 +131,28 @@ def _searchsorted_pallas(keys, queries, starts, ends, interpret=False):
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(miss_val),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(queries.shape, jnp.int32),
         interpret=interpret,
     )(starts.reshape(-1), ends.reshape(-1), keys, queries)
 
 
-def searchsorted_segments(keys, queries, interpret=None):
+def searchsorted_segments(keys, queries, interpret=None, with_miss=False):
     """Per-sample searchsorted(side='left') of segmented query arrays.
 
     Args:
         keys: [B, N] ascending uint32 per sample (SENTINEL padding at end).
         queries: [B, S, M] uint32; each [M] segment should be roughly
             ascending for performance (correct regardless).
+        with_miss: if True, return hit-verified indices — rows whose query is
+            not present in `keys` (or equals the SENTINEL) come back as N.
+            The equality test rides the same window compares, so it is free
+            compared to a separate `take_along_axis` hit check.
 
     Returns:
-        idx: [B, S, M] int32 in [0, N].
+        idx: [B, S, M] int32 in [0, N] (with_miss: N means miss; else the
+        plain insertion position).
     """
     bsz, n = keys.shape
     _, segs, m = queries.shape
@@ -131,7 +163,15 @@ def searchsorted_segments(keys, queries, interpret=None):
     if not use_pallas:
         flat = queries.reshape(bsz, -1)
         idx = jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(keys, flat)
-        return idx.astype(jnp.int32).reshape(queries.shape)
+        idx = idx.astype(jnp.int32)
+        if with_miss:
+            sent = np.uint32(0xFFFFFFFF)
+            safe = jnp.minimum(idx, n - 1)
+            hit = (jnp.take_along_axis(keys, safe, axis=1) == flat) & (
+                flat != sent
+            )
+            idx = jnp.where(hit, safe, n)
+        return idx.reshape(queries.shape)
 
     pad = (-m) % T_QUERIES
     q = queries
@@ -156,7 +196,8 @@ def searchsorted_segments(keys, queries, interpret=None):
         keys, cmax.reshape(bsz, -1)
     ).astype(jnp.int32)
     idx = _searchsorted_pallas(
-        keys.reshape(bsz, 1, -1), q, lo, hi, interpret=bool(interpret)
+        keys.reshape(bsz, 1, -1), q, lo, hi, interpret=bool(interpret),
+        miss_val=n if with_miss else -1,
     )
     if pad:
         idx = idx[..., :m]

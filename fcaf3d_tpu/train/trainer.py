@@ -179,3 +179,51 @@ def make_votenet_train_step(model, cfg, tx, mesh: Mesh = None):
         step_fn, in_shardings=(rep, shardings), out_shardings=(rep, rep),
         donate_argnums=0,
     )
+
+
+def make_votenet_v1_train_step(model, cfg, tx, mesh: Mesh = None):
+    """Jitted bin-based VoteNet-v1 train step (same batch layout as v2;
+    `model` must be a `VoteNetV1` so its coder drives targets/losses)."""
+    from ..models.votenet_v1 import votenet_v1_loss
+
+    def step_fn(state, batch):
+        def loss_fn(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = votenet_v1_loss(
+                preds, batch["points"], batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], coder=model.coder, n_classes=cfg.n_classes,
+                gt_per_seed=cfg.gt_per_seed,
+            )
+            total = sum(losses.values())
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+    rep = replicate(mesh)
+    shard = shard_batch(mesh)
+    shardings = {k: shard for k in ("points", "gt_boxes", "gt_labels", "gt_valid")}
+    return jax.jit(
+        step_fn, in_shardings=(rep, shardings), out_shardings=(rep, rep),
+        donate_argnums=0,
+    )

@@ -151,3 +151,39 @@ def test_bbox_pred_to_bbox_modes():
     np.testing.assert_allclose(
         out8[0], [1.0, 2.0, 3.1, s / 2, s / 2, 0.6, 0.0], atol=1e-5
     )
+
+
+def test_fast_variant_configs_forward():
+    """First-class 2-/3-scale fast variants (`fcaf3d_2scales_scannet…py`,
+    `fcaf3d_3scales_scannet…py`): truncated backbone + matching head."""
+    import dataclasses
+
+    from fcaf3d_tpu.configs import fcaf3d_scannet_2scales, fcaf3d_scannet_3scales
+
+    c3 = fcaf3d_scannet_3scales()
+    assert c3.n_outs == 3 and c3.voxel_size == 0.01
+    c2 = fcaf3d_scannet_2scales()
+    assert c2.n_outs == 2 and c2.voxel_size == 0.02
+    assert len(c2.neck_budgets) == 2
+
+    # tiny-budget 2-scale forward end to end
+    tiny2 = dataclasses.replace(
+        c2,
+        n_classes=4,
+        compute_dtype="float32",
+        num_points=512,
+        input_budget=512,
+        backbone_budgets=(256, 128, 96, 48, 24, 12),
+        neck_budgets=(96, 48),
+        max_gt_boxes=8,
+        nms_pre=32,
+        nms_cap=32,
+    )
+    rng = np.random.RandomState(3)
+    pts, colors, valid, *_ = synth_batch(rng)
+    model = FCAF3D(tiny2)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, colors, valid)
+    outs = jax.jit(model.apply)(variables, pts, colors, valid)
+    assert len(outs) == 2
+    dets = fcaf3d_get_bboxes(outs, infer_config(tiny2))
+    assert np.all(np.isfinite(np.asarray(dets.boxes)))

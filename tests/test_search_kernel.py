@@ -51,6 +51,29 @@ def test_searchsorted_kernel_exact_hits_and_duplicates():
     np.testing.assert_array_equal(got, [0, 0, 1, 4, 4, 5])
 
 
+@pytest.mark.parametrize("n,m,segs", [(300, T_QUERIES, 2), (5000, 2 * T_QUERIES, 1)])
+def test_searchsorted_kernel_with_miss(n, m, segs):
+    """with_miss=True must equal searchsorted + hit-check (the old lookup)."""
+    rng = np.random.RandomState(2)
+    b = 2
+    keys = np.sort(rng.randint(0, 2**31, (b, n)).astype(np.uint32), axis=1)
+    # mix of guaranteed hits (drawn from keys) and random (mostly misses)
+    q = np.sort(rng.randint(0, 2**31, (b, segs, m)).astype(np.uint32), axis=-1)
+    hits = keys[:, rng.randint(0, n, m)].reshape(b, 1, m)
+    take = rng.rand(b, segs, m) < 0.5
+    q = np.where(take, np.broadcast_to(np.sort(hits, -1), q.shape), q)
+    q[:, :, -5:] = 0xFFFFFFFF
+
+    got = np.asarray(searchsorted_segments(
+        jnp.asarray(keys), jnp.asarray(q), interpret=True, with_miss=True))
+    pos = np.asarray(oracle(jnp.asarray(keys), jnp.asarray(q)))
+    safe = np.minimum(pos, n - 1)
+    hit = (np.take_along_axis(keys[:, None, :].repeat(segs, 1).reshape(b, segs, n),
+                              safe, axis=2) == q) & (q != 0xFFFFFFFF)
+    expect = np.where(hit, safe, n)
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_fused_gather_gemm_interpret():
     """Fused conv kernel == XLA gather+GEMM (interpret mode)."""
     from fcaf3d_tpu.ops.sparse.conv import gather_gemm

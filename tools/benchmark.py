@@ -22,27 +22,22 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
+    if args.scales != 4 and args.dataset != "scannet":
+        ap.error("--scales fast variants exist for ScanNet only")
+
     sys.argv = [sys.argv[0], "--batch", str(args.batch), "--iters", str(args.iters)]
     import bench as root_bench  # reuse the driver bench implementation
 
     if args.dataset != "scannet" or args.scales != 4:
-        import dataclasses
-
         from fcaf3d_tpu import configs as C
 
         base = {
-            "scannet": C.fcaf3d_scannet,
-            "sunrgbd": C.fcaf3d_sunrgbd,
-            "s3dis": C.fcaf3d_s3dis,
-        }[args.dataset]()
-        if args.scales != 4:
-            # fast variants (fcaf3d_2scales/3scales configs): fewer levels,
-            # voxel 0.02 for the 2-scale model
-            base = dataclasses.replace(
-                base,
-                n_outs=args.scales,
-                voxel_size=0.02 if args.scales == 2 else base.voxel_size,
-            )
+            ("scannet", 4): C.fcaf3d_scannet,
+            ("scannet", 3): C.fcaf3d_scannet_3scales,
+            ("scannet", 2): C.fcaf3d_scannet_2scales,
+            ("sunrgbd", 4): C.fcaf3d_sunrgbd,
+            ("s3dis", 4): C.fcaf3d_s3dis,
+        }[(args.dataset, args.scales)]()
         C.fcaf3d_scannet = lambda: base  # bench reads this constructor
     root_bench.main()
 

@@ -25,11 +25,22 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--no-eval", action="store_true")
     ap.add_argument("--max-eval-scenes", type=int, default=None)
+    ap.add_argument("--scales", type=int, default=4, choices=[2, 3, 4],
+                    help="ScanNet fast variants (fcaf3d_2scales/3scales)")
+    ap.add_argument("--autoscale-lr", action="store_true",
+                    help="linearly scale lr by batch/16 (reference "
+                         "`tools/train.py:74-77` world-size rule)")
     args = ap.parse_args()
 
     from fcaf3d_tpu.apis.test import evaluate_dataset, make_test_pipeline
     from fcaf3d_tpu.apis.train import train_model
-    from fcaf3d_tpu.configs import fcaf3d_s3dis, fcaf3d_scannet, fcaf3d_sunrgbd
+    from fcaf3d_tpu.configs import (
+        fcaf3d_s3dis,
+        fcaf3d_scannet,
+        fcaf3d_scannet_2scales,
+        fcaf3d_scannet_3scales,
+        fcaf3d_sunrgbd,
+    )
     from fcaf3d_tpu.data import (
         Compose,
         GlobalAlignment,
@@ -45,8 +56,12 @@ def main():
         SUNRGBD_CLASSES,
     )
 
+    if args.scales != 4 and args.dataset != "scannet":
+        ap.error("--scales fast variants exist for ScanNet only")
+
     if args.dataset == "scannet":
-        cfg = fcaf3d_scannet()
+        cfg = {4: fcaf3d_scannet, 3: fcaf3d_scannet_3scales,
+               2: fcaf3d_scannet_2scales}[args.scales]()
         classes = SCANNET_CLASSES
         train_pipe = Compose([
             GlobalAlignment(),
@@ -119,6 +134,8 @@ def main():
         cfg = dataclasses.replace(cfg, batch_size=args.batch)
     if args.epochs:
         cfg = dataclasses.replace(cfg, max_epochs=args.epochs)
+    if args.autoscale_lr:
+        cfg = dataclasses.replace(cfg, lr=cfg.lr * cfg.batch_size / 16)
 
     loader = Loader(
         ds, cfg.batch_size, cfg.num_points, cfg.max_gt_boxes, seed=args.seed

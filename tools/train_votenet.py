@@ -20,21 +20,26 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--head", choices=["v1", "v2"], default="v2",
+                    help="v2 = Mobius direct regression; v1 = upstream "
+                         "bin-based VoteHead (votenet_16x8_sunrgbd config)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from fcaf3d_tpu.configs.votenet import votenet_sunrgbd
+    from fcaf3d_tpu.configs.votenet import votenet_sunrgbd, votenet_v1_sunrgbd
     from fcaf3d_tpu.data import (
         Compose, GlobalRotScaleTrans, IndoorDetDataset, Loader, PointSample,
         RandomFlip, RepeatDataset, ShiftHeight, SUNRGBD_CLASSES)
     from fcaf3d_tpu.models.votenet import VoteNet
+    from fcaf3d_tpu.models.votenet_v1 import VoteNetV1, sunrgbd_coder
     from fcaf3d_tpu.train.checkpoint import save_checkpoint
     from fcaf3d_tpu.train.optim import make_optimizer
-    from fcaf3d_tpu.train.trainer import TrainState, make_votenet_train_step
+    from fcaf3d_tpu.train.trainer import (
+        TrainState, make_votenet_train_step, make_votenet_v1_train_step)
 
-    cfg = votenet_sunrgbd()
+    cfg = votenet_sunrgbd() if args.head == "v2" else votenet_v1_sunrgbd()
     if args.batch:
         cfg = dataclasses.replace(cfg, batch_size=args.batch)
     if args.epochs:
@@ -58,13 +63,21 @@ def main():
                     n_feat_dims=cfg.in_feat_dims, seed=args.seed)
     steps = loader.steps_per_epoch()
 
-    model = VoteNet(
-        n_classes=cfg.n_classes, n_reg_outs=cfg.n_reg_outs,
-        yaw_parametrization=cfg.yaw_parametrization,
-        num_proposal=cfg.num_proposal,
-        backbone_num_points=cfg.backbone_num_points,
-        sample_mod=cfg.sample_mod,
-    )
+    if args.head == "v2":
+        model = VoteNet(
+            n_classes=cfg.n_classes, n_reg_outs=cfg.n_reg_outs,
+            yaw_parametrization=cfg.yaw_parametrization,
+            num_proposal=cfg.num_proposal,
+            backbone_num_points=cfg.backbone_num_points,
+            sample_mod=cfg.sample_mod,
+        )
+    else:
+        model = VoteNetV1(
+            coder=sunrgbd_coder(), n_classes=cfg.n_classes,
+            num_proposal=cfg.num_proposal,
+            backbone_num_points=cfg.backbone_num_points,
+            sample_mod=cfg.sample_mod,
+        )
     tx = make_optimizer(lr=cfg.lr, weight_decay=cfg.weight_decay,
                         grad_clip=cfg.grad_clip, steps_per_epoch=steps,
                         lr_steps=cfg.lr_steps)
@@ -76,7 +89,8 @@ def main():
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(variables["params"]),
     )
-    step = make_votenet_train_step(model, cfg, tx)
+    step = (make_votenet_train_step if args.head == "v2"
+            else make_votenet_v1_train_step)(model, cfg, tx)
 
     os.makedirs(args.work_dir, exist_ok=True)
     log = open(os.path.join(args.work_dir, "train_log.jsonl"), "a")
