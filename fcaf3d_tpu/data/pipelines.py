@@ -63,8 +63,9 @@ class PointSample:
         return sample
 
 
-def _flip_points_boxes(sample, axis: int):
-    """axis 0 = BEV horizontal (x), axis 1 = vertical (y)."""
+def _flip_points_boxes(sample, axis: int, with_yaw: bool = True):
+    """axis 0 = BEV horizontal (x), axis 1 = vertical (y). Yaw-less boxes
+    keep yaw untouched (reference `depth_box3d.py` flip semantics)."""
     pts = sample["points"].copy()
     pts[:, axis] = -pts[:, axis]
     sample["points"] = pts
@@ -72,10 +73,11 @@ def _flip_points_boxes(sample, axis: int):
     if boxes is not None and len(boxes):
         boxes = boxes.copy()
         boxes[:, axis] = -boxes[:, axis]
-        if axis == 0:
-            boxes[:, 6] = np.pi - boxes[:, 6]
-        else:
-            boxes[:, 6] = -boxes[:, 6]
+        if with_yaw:
+            if axis == 0:
+                boxes[:, 6] = np.pi - boxes[:, 6]
+            else:
+                boxes[:, 6] = -boxes[:, 6]
         sample["gt_boxes"] = boxes
     return sample
 
@@ -83,33 +85,42 @@ def _flip_points_boxes(sample, axis: int):
 class RandomFlip:
     """`RandomFlip3D`: independent BEV horizontal/vertical flips."""
 
-    def __init__(self, horizontal_ratio: float = 0.5, vertical_ratio: float = 0.0):
+    def __init__(self, horizontal_ratio: float = 0.5, vertical_ratio: float = 0.0,
+                 with_yaw: bool = True):
         self.h = horizontal_ratio
         self.v = vertical_ratio
+        self.with_yaw = with_yaw
 
     def __call__(self, sample, rng):
         if self.h > 0 and rng.random() < self.h:
-            sample = _flip_points_boxes(sample, 0)
+            sample = _flip_points_boxes(sample, 0, self.with_yaw)
             sample["flip_horizontal"] = True
         if self.v > 0 and rng.random() < self.v:
-            sample = _flip_points_boxes(sample, 1)
+            sample = _flip_points_boxes(sample, 1, self.with_yaw)
             sample["flip_vertical"] = True
         return sample
 
 
 class GlobalRotScaleTrans:
     """`GlobalRotScaleTrans`: rotation -> scaling -> translation, uniform
-    rot/scale and gaussian translation (reference `transforms_3d.py:496-657`)."""
+    rot/scale and gaussian translation (reference `transforms_3d.py:496-657`).
+
+    with_yaw=False boxes follow the reference's axis-aligned rotation
+    semantics (`depth_box3d.py:150-165`): centers rotate, and dims become
+    the rotated corners' axis-aligned extents (enclosing-box refit) with
+    yaw kept at 0 — NOT a yaw update."""
 
     def __init__(
         self,
         rot_range=(-0.087266, 0.087266),
         scale_range=(0.9, 1.1),
         translation_std=(0.1, 0.1, 0.1),
+        with_yaw: bool = True,
     ):
         self.rot_range = rot_range
         self.scale_range = scale_range
         self.translation_std = np.asarray(translation_std, np.float32)
+        self.with_yaw = with_yaw
 
     def __call__(self, sample, rng):
         angle = rng.uniform(*self.rot_range) if self.rot_range[0] != self.rot_range[1] else self.rot_range[0]
@@ -128,8 +139,15 @@ class GlobalRotScaleTrans:
         if boxes is not None and len(boxes):
             boxes = boxes.copy()
             boxes[:, :3] = boxes[:, :3] @ rot_t * scale + trans
-            boxes[:, 3:6] *= scale
-            boxes[:, 6] += angle
+            if self.with_yaw:
+                boxes[:, 3:6] *= scale
+                boxes[:, 6] += angle
+            else:
+                ac, asn = abs(c), abs(s)
+                dx, dy = boxes[:, 3].copy(), boxes[:, 4].copy()
+                boxes[:, 3] = (dx * ac + dy * asn) * scale
+                boxes[:, 4] = (dx * asn + dy * ac) * scale
+                boxes[:, 5] *= scale
             sample["gt_boxes"] = boxes
         sample["pcd_rotation"] = angle
         sample["pcd_scale_factor"] = scale

@@ -60,17 +60,122 @@ def kernel_offsets(kernel_size: int, stride_units: int) -> np.ndarray:
     return offs * stride_units
 
 
+def _zgroups(offsets: np.ndarray, lattice: int):
+    """Split offsets into maximal runs sharing (dx, dy) with consecutive z
+    steps of exactly `lattice` (the coordinate map's z step). Returns a list
+    of (dx, dy, z0, count, first_flat_index) or None if any z step differs
+    (then the generic per-offset lookup applies)."""
+    groups = []
+    i = 0
+    k = len(offsets)
+    while i < k:
+        dx, dy, z0 = offsets[i]
+        c = 1
+        while (
+            i + c < k
+            and offsets[i + c][0] == dx
+            and offsets[i + c][1] == dy
+            and offsets[i + c][2] == z0 + c * lattice
+        ):
+            c += 1
+        groups.append((int(dx), int(dy), int(z0), c, i))
+        i += c
+    return groups
+
+
 def build_kernel_map(
-    in_keys: jnp.ndarray, out_coords: jnp.ndarray, offsets: np.ndarray
+    in_keys: jnp.ndarray, out_coords: jnp.ndarray, offsets: np.ndarray,
+    lattice: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Neighbor index table [B, M, K]; value N (=in capacity) means miss."""
-    queries = out_coords[:, :, None, :] + jnp.asarray(offsets)[None, None, :, :]
-    qkeys = encode_coords(queries)
-    # out-of-budget output rows carry EXTENT coords -> OOB queries -> SENTINEL.
-    # offset-major layout: each [M] segment is ascending (constant key shift
-    # of the sorted out keys), which the TPU search kernel exploits.
-    idx = lookup(in_keys, jnp.swapaxes(qkeys, 1, 2), segments=True)
-    return jnp.swapaxes(idx, 1, 2)
+    """Neighbor index table [B, M, K]; value N (=in capacity) means miss.
+
+    Fast path (z-difference streams): cubic kernels enumerate offsets with z
+    fastest, so each (dx, dy) group queries `c` consecutive z-lattice sites.
+    On the stride-`lattice` lattice NO key lies strictly between integer
+    keys q and q+lattice, hence `hit(q) <=> lt(q+lattice) > lt(q)` — the
+    searches can run in PLAIN counting mode (no equality pass) with c+1
+    streams per group instead of c hit-verified searches: for k3 that is
+    36 counting passes in place of 27 counting + 27 equality passes, ~1.5x
+    less VPU work in the Pallas search kernel (the forward's top cost).
+
+    Args:
+        lattice: z step of `in_keys`' lattice (the map's stride). Defaults
+            to the smallest nonzero |z| step in `offsets`.
+    """
+    from .search import searchsorted_segments
+
+    b, m = out_coords.shape[:2]
+    n = in_keys.shape[1]
+    if lattice is None:
+        zsteps = np.abs(np.diff(np.unique(offsets[:, 2])))
+        lattice = int(zsteps.min()) if len(zsteps) else 1
+    groups = _zgroups(offsets, lattice)
+
+    x = out_coords[:, :, 0]
+    y = out_coords[:, :, 1]
+    z = out_coords[:, :, 2]
+    step = np.uint32(lattice)
+
+    streams = []
+    shifts = []  # [B, M] bool per group: base z underflowed, streams start 1 up
+    valids = []
+    for dx, dy, z0, c, _ in groups:
+        xq, yq, zq = x + dx, y + dy, z + z0
+        # rows whose lowest z-offset lands below 0 start their stream ladder
+        # one lattice step up (element selects compensate below); zq is a
+        # lattice multiple, so a single step is always enough for our kernels
+        shift = zq < 0
+        zb = jnp.where(shift, zq + lattice, zq)
+        base_ok = (
+            (xq >= 0) & (xq < EXTENT[0]) & (yq >= 0) & (yq < EXTENT[1])
+            & (zb >= 0) & (zb < EXTENT[2])
+        )
+        # integer base key; OOB/padding rows -> SENTINEL (keeps segments
+        # sorted so the search kernel's windowing stays tight)
+        base = (
+            (xq.astype(jnp.uint32) << 21)
+            | (yq.astype(jnp.uint32) << 10)
+            | zb.astype(jnp.uint32)
+        )
+        base = jnp.where(base_ok, base, SENTINEL)
+        for j in range(c + 1):
+            streams.append(
+                jnp.where(base == SENTINEL, SENTINEL, base + j * step))
+        shifts.append(shift)
+        for j in range(c):
+            # per-element validity at the TRUE z (x/y shared with the base)
+            zj = zq + j * lattice
+            valids.append(base_ok & (zj >= 0) & (zj < EXTENT[2]))
+
+    q = jnp.stack(streams, axis=1)  # [B, n_streams, M]
+    import math
+
+    gs = 0
+    for _, _, _, c, _ in groups:
+        gs = math.gcd(gs, c + 1)
+    pos = searchsorted_segments(
+        in_keys, q, with_miss=False, group_size=gs)  # [B, S, M]
+    pos = jnp.minimum(pos, n)
+
+    cols = []
+    si = 0
+    vi = 0
+    miss = jnp.full_like(pos[:, 0], n)
+    for gi, (_, _, _, c, _) in enumerate(groups):
+        shift = shifts[gi]
+        diffs = [pos[:, si + j + 1] > pos[:, si + j] for j in range(c)]
+        for j in range(c):
+            # element j's stream index is j, or j-1 on shifted rows
+            if j == 0:
+                pj, hj = pos[:, si], diffs[0]  # shift rows are invalid at j=0
+            else:
+                pj = jnp.where(shift, pos[:, si + j - 1], pos[:, si + j])
+                hj = jnp.where(shift, diffs[j - 1], diffs[j])
+            hit = hj & valids[vi]
+            cols.append(jnp.where(hit, pj, miss).astype(jnp.int32))
+            vi += 1
+        si += c + 1
+    return jnp.stack(cols, axis=-1)  # [B, M, K]
 
 
 def build_kernel_map_self(
@@ -137,10 +242,10 @@ def _use_fused_conv():
 
 
 def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map=True):
-    # the windowed kernel pads channels to 128 lanes, so narrow convs pay
-    # ~2x select waste and XLA's gather wins (measured on real stage maps);
-    # route by input width
-    if sorted_map and feats.shape[-1] >= 96 and _use_fused_conv():
+    # traced on-device timing on real stage maps: fused beats XLA's
+    # gather+GEMM at every width tried (C=3: 3.1 vs 3.3ms; C=64: 1.86 vs
+    # 2.20ms per 27x27k map), so all sorted maps route to the kernel
+    if sorted_map and _use_fused_conv():
         from .gather_kernel import fused_gather_gemm
 
         return fused_gather_gemm(feats, idx, weight)
@@ -517,7 +622,9 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray) -> jnp.ndarray:
     # all 8 corner lookups in ONE segmented search call (each corner's
     # queries are a constant shift of the same ordering)
     cc = base[:, None, :, :] + jnp.asarray(corners * st.stride)[None, :, None, :]
-    idx = lookup(st.keys, encode_coords(cc), segments=True)  # [B, 8, Q]
+    # corner order is z-fastest, so consecutive segment PAIRS share (x, y)
+    # and have near-identical key ranges -> shared search windows
+    idx = lookup(st.keys, encode_coords(cc), segments=True, group_size=2)  # [B, 8, Q]
     w = jnp.prod(
         jnp.where(
             jnp.asarray(corners, bool)[None, :, None, :],

@@ -233,6 +233,23 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
 
         return _gather_gemm_fwd_impl(feats, idx, weight, 3)
 
+    # scoped-VMEM budget (16MB): the [K, C, E] weight block and the double-
+    # buffered window must both fit. Wide channels shrink the window; huge
+    # weights split the offsets and sum (each half re-streams its windows,
+    # which is cheap on the small deep-level maps where C is large).
+    if c >= 384:
+        w_big = min(w_big, 2048)
+    wbytes = k * max(c, 128) * e * weight.dtype.itemsize
+    if wbytes > 6 * 2**20 and k > 1:
+        half = k // 2
+        return fused_gather_gemm(
+            feats, idx[..., :half], weight[:half], interpret=interpret,
+            t_rows=t_rows, w_sub=w_sub, w_big=w_big,
+        ) + fused_gather_gemm(
+            feats, idx[..., half:], weight[half:], interpret=interpret,
+            t_rows=t_rows, w_sub=w_sub, w_big=w_big,
+        )
+
     # channel-pad to 128 lanes: HBM window DMAs require 128-aligned slices
     c_pad = (-c) % 128
     if c_pad:

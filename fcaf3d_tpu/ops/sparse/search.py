@@ -22,18 +22,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_QUERIES = 1024  # queries per chunk
-W_KEYS = 2048  # key window per DMA (start 128-aligned for Mosaic slicing)
+T_QUERIES = 512  # queries per chunk (span ~ T x density, so compare work ~ T^2)
+W_KEYS = 1024  # key window per DMA (start 128-aligned for Mosaic slicing)
 W_STEP = W_KEYS - 128  # effective advance per window (alignment slack)
 
 
-def _make_kernel(miss_val: int):
+def _make_kernel(miss_val: int, gsz: int):
     """miss_val < 0 -> plain searchsorted positions; miss_val >= 0 -> hit-
     verified lookup: rows whose query has no exact key match (or is the
     SENTINEL) return `miss_val` instead of the insertion position. Doing the
     equality test inside the window scan makes the separate hit-check gather
     (`take_along_axis(keys, idx) == q`, ~2GB/s on TPU) unnecessary — it was
-    the single largest cost of the round-1 forward pass."""
+    the single largest cost of the round-1 forward pass.
+
+    `gsz` consecutive segments are processed per window (their chunk ranges
+    are unioned): kmap z-stream ladders and interpolation corner pairs have
+    near-identical ranges, so one DMA + bounds computation serves the whole
+    group — the per-chunk fixed cost is the dominant term once windows are
+    span-sized (chunk spans are ~T * density ratio ~ 140, far below even
+    this 512-key window)."""
 
     def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
         from jax.experimental import pallas as pl
@@ -44,18 +51,20 @@ def _make_kernel(miss_val: int):
         n_chunks = pl.num_programs(1)
         segs = q_ref.shape[1]
         n_keys = keys_hbm.shape[2]  # padded to >= W_KEYS
+        n_groups = segs // gsz
 
-        def seg_body(s, _):
-            flat = (b * segs + s) * n_chunks + c
-            start = starts_ref[flat]
-            end = ends_ref[flat]
-            q = q_ref[0, s, :]  # [T]
-            qT = q.reshape(T_QUERIES, 1)
+        def grp_body(g, _):
+            s0 = g * gsz
+            # bounds are precomputed at GROUP granularity
+            flat0 = (b * n_groups + g) * n_chunks + c
+            start = starts_ref[flat0]
+            end = ends_ref[flat0]
+            qs = [q_ref[0, s0 + k, :] for k in range(gsz)]  # each [T]
+            qTs = [qq.reshape(T_QUERIES, 1) for qq in qs]
 
             n_pieces = pl.cdiv(end - start, W_STEP)
 
             def body(i, carry):
-                count_lt, count_le = carry
                 lo = start + i * W_STEP
                 hi = jnp.minimum(end, lo + W_STEP)
                 # 128-aligned, in-bounds DMA window; masking recovers [lo, hi)
@@ -73,35 +82,42 @@ def _make_kernel(miss_val: int):
                 in_range = (pos >= lo) & (pos < hi)
                 kw = jnp.where(in_range, kw, jnp.uint32(0xFFFFFFFF))
                 kwr = kw.reshape(1, W_KEYS)
-                count_lt = count_lt + jnp.sum(
-                    (kwr < qT).astype(jnp.int32), axis=1)
-                if miss_val >= 0:
-                    # count_le - count_lt > 0 <=> an exact match exists;
-                    # masked-out positions are SENTINEL, and SENTINEL
-                    # queries are rejected after the loop
-                    count_le = count_le + jnp.sum(
-                        (kwr <= qT).astype(jnp.int32), axis=1)
-                return count_lt, count_le
+                new = []
+                for k in range(gsz):
+                    new.append(carry[len(new)] + jnp.sum(
+                        (kwr < qTs[k]).astype(jnp.int32), axis=1))
+                    if miss_val >= 0:
+                        # count_le - count_lt > 0 <=> an exact match exists;
+                        # masked-out positions are SENTINEL, and SENTINEL
+                        # queries are rejected after the loop
+                        new.append(carry[len(new)] + jnp.sum(
+                            (kwr <= qTs[k]).astype(jnp.int32), axis=1))
+                return tuple(new)
 
-            zeros = jnp.zeros((T_QUERIES,), jnp.int32)
-            count_lt, count_le = jax.lax.fori_loop(
-                0, n_pieces, body, (zeros, zeros)
+            stride = 2 if miss_val >= 0 else 1
+            zeros = tuple(
+                jnp.zeros((T_QUERIES,), jnp.int32)
+                for _ in range(gsz * stride)
             )
-            idx = start + count_lt
-            if miss_val >= 0:
-                hit = (count_le > count_lt) & (q != jnp.uint32(0xFFFFFFFF))
-                idx = jnp.where(hit, idx, miss_val)
-            out_ref[0, s, :] = idx
+            counts = jax.lax.fori_loop(0, n_pieces, body, zeros)
+            for k in range(gsz):
+                idx = start + counts[k * stride]
+                if miss_val >= 0:
+                    hit = (counts[k * stride + 1] > counts[k * stride]) & (
+                        qs[k] != jnp.uint32(0xFFFFFFFF))
+                    idx = jnp.where(hit, idx, miss_val)
+                out_ref[0, s0 + k, :] = idx
             return 0
 
-        jax.lax.fori_loop(0, segs, seg_body, 0)
+        jax.lax.fori_loop(0, n_groups, grp_body, 0)
 
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "miss_val"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "miss_val", "group_size"))
 def _searchsorted_pallas(keys, queries, starts, ends, interpret=False,
-                         miss_val=-1):
+                         miss_val=-1, group_size=1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -131,14 +147,15 @@ def _searchsorted_pallas(keys, queries, starts, ends, interpret=False,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(miss_val),
+        _make_kernel(miss_val, group_size),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(queries.shape, jnp.int32),
         interpret=interpret,
     )(starts.reshape(-1), ends.reshape(-1), keys, queries)
 
 
-def searchsorted_segments(keys, queries, interpret=None, with_miss=False):
+def searchsorted_segments(keys, queries, interpret=None, with_miss=False,
+                          group_size=1):
     """Per-sample searchsorted(side='left') of segmented query arrays.
 
     Args:
@@ -149,6 +166,10 @@ def searchsorted_segments(keys, queries, interpret=None, with_miss=False):
             not present in `keys` (or equals the SENTINEL) come back as N.
             The equality test rides the same window compares, so it is free
             compared to a separate `take_along_axis` hit check.
+        group_size: segments per shared search window (must divide S); use
+            when consecutive segments have near-identical key ranges (z-
+            stream ladders, interpolation corner pairs) to amortize the
+            per-chunk DMA + bounds cost.
 
     Returns:
         idx: [B, S, M] int32 in [0, N] (with_miss: N means miss; else the
@@ -184,10 +205,17 @@ def searchsorted_segments(keys, queries, interpret=None, with_miss=False):
         keys = jnp.pad(
             keys, ((0, 0), (0, key_pad)), constant_values=np.uint32(0xFFFFFFFF)
         )
+    assert segs % group_size == 0, (segs, group_size)
     mp = q.shape[-1]
     chunks = q.reshape(bsz, segs, mp // T_QUERIES, T_QUERIES)
-    cmin = jnp.min(chunks, axis=-1)
+    cmin = jnp.min(chunks, axis=-1)  # [B, S, chunks]
     cmax = jnp.max(chunks, axis=-1)
+    if group_size > 1:
+        # the kernel unions bounds across each group anyway; narrowing at
+        # group granularity cuts the searchsorted count group_size-fold
+        gshape = (bsz, segs // group_size, group_size, -1)
+        cmin = jnp.min(cmin.reshape(gshape), axis=2)
+        cmax = jnp.max(cmax.reshape(gshape), axis=2)
     # key range per chunk via the (cheap) generic searchsorted
     lo = jax.vmap(lambda k, v: jnp.searchsorted(k, v, side="left"))(
         keys, cmin.reshape(bsz, -1)
@@ -197,7 +225,7 @@ def searchsorted_segments(keys, queries, interpret=None, with_miss=False):
     ).astype(jnp.int32)
     idx = _searchsorted_pallas(
         keys.reshape(bsz, 1, -1), q, lo, hi, interpret=bool(interpret),
-        miss_val=n if with_miss else -1,
+        miss_val=n if with_miss else -1, group_size=group_size,
     )
     if pad:
         idx = idx[..., :m]

@@ -168,7 +168,8 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
 
 
 def lookup(
-    keys_sorted: jnp.ndarray, queries: jnp.ndarray, segments: bool = False
+    keys_sorted: jnp.ndarray, queries: jnp.ndarray, segments: bool = False,
+    group_size: int = 1,
 ) -> jnp.ndarray:
     """Find rows of `queries` in per-sample sorted key arrays.
 
@@ -190,7 +191,8 @@ def lookup(
     # hit verification happens inside the search kernel (with_miss): a
     # separate `take_along_axis(keys, idx) == q` gather ran at ~2GB/s on TPU
     # and dominated the round-1 forward pass
-    idx = searchsorted_segments(keys_sorted, q3, with_miss=True)
+    idx = searchsorted_segments(
+        keys_sorted, q3, with_miss=True, group_size=group_size)
     return idx.reshape(q_shape)
 
 

@@ -66,8 +66,9 @@ def main():
         train_pipe = Compose([
             GlobalAlignment(),
             PointSample(cfg.num_points),
-            RandomFlip(0.5, 0.5),
-            GlobalRotScaleTrans((-0.087266, 0.087266), (0.9, 1.1), (0.1,) * 3),
+            RandomFlip(0.5, 0.5, with_yaw=False),
+            GlobalRotScaleTrans((-0.087266, 0.087266), (0.9, 1.1), (0.1,) * 3,
+                                with_yaw=False),
         ])
         ds = RepeatDataset(
             IndoorDetDataset(
@@ -114,8 +115,9 @@ def main():
         classes = S3DIS_CLASSES
         train_pipe = Compose([
             PointSample(cfg.num_points),
-            RandomFlip(0.5, 0.5),
-            GlobalRotScaleTrans((-0.087266, 0.087266), (0.9, 1.1), (0.1,) * 3),
+            RandomFlip(0.5, 0.5, with_yaw=False),
+            GlobalRotScaleTrans((-0.087266, 0.087266), (0.9, 1.1), (0.1,) * 3,
+                                with_yaw=False),
         ])
         train_files = [
             os.path.join(args.data_root, f"s3dis_infos_Area_{a}.pkl")
