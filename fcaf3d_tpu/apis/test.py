@@ -30,6 +30,58 @@ def detections_to_numpy(dets: Detections, sample_idx: int) -> Dict[str, np.ndarr
     }
 
 
+FLIP_TTA = (
+    {},
+    {"flip_horizontal": True},
+    {"flip_vertical": True},
+    {"flip_horizontal": True, "flip_vertical": True},
+)
+
+
+def aug_test_batch(run, variables, batch, cfg, augs, rotated: bool):
+    """Run K augmented forwards on a collated batch and merge per sample
+    (the reference's `aug_test` + `merge_aug_bboxes_3d`,
+    `models/detectors/base.py:14-44`, `core/post_processing/merge_augs.py`).
+
+    Returns a list of per-sample numpy detection dicts."""
+    from ..core.merge_augs import merge_aug_detections
+
+    per_aug = []
+    for aug in augs:
+        pts = np.array(batch["points"])
+        if aug.get("flip_horizontal"):
+            pts[..., 0] = -pts[..., 0]
+        if aug.get("flip_vertical"):
+            pts[..., 1] = -pts[..., 1]
+        dets = run(
+            variables,
+            jnp.asarray(pts),
+            jnp.asarray(batch["colors"]),
+            jnp.asarray(batch["valid"]),
+        )
+        per_aug.append(dets)
+
+    out = []
+    bsz = batch["points"].shape[0]
+    for j in range(bsz):
+        boxes, scores, labels, keep = merge_aug_detections(
+            [d.boxes[j] for d in per_aug],
+            [d.scores[j] for d in per_aug],
+            [d.labels[j] for d in per_aug],
+            [d.valid[j] for d in per_aug],
+            list(augs),
+            iou_thr=cfg.iou_thr,
+            rotated=rotated,
+        )
+        k = np.asarray(keep)
+        out.append({
+            "boxes_3d": np.asarray(boxes)[k],
+            "scores_3d": np.asarray(scores)[k],
+            "labels_3d": np.asarray(labels)[k],
+        })
+    return out
+
+
 def evaluate_dataset(
     model: FCAF3D,
     variables,
@@ -39,31 +91,73 @@ def evaluate_dataset(
     seed: int = 0,
     iou_thresholds=(0.25, 0.5),
     max_scenes: Optional[int] = None,
+    tta: bool = False,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Run inference over `dataset` (test-mode pipeline) and compute mAP/mAR."""
+    """Run inference over `dataset` (test-mode pipeline) and compute mAP/mAR.
+
+    tta=True runs the 4 BEV flip combinations per scene and merges the
+    inverted detections with class-wise NMS (`MultiScaleFlipAug3D` +
+    `aug_test`).
+
+    mesh: optional `jax.sharding.Mesh` with a 'data' axis — val scenes are
+    sharded across its devices (the reference's `multi_gpu_test`,
+    `tools/test.py:186-191`); requires batch_size % mesh devices == 0.
+    Detections come back to the host already gathered (single-controller
+    JAX), so the rank-0 result-collect is implicit."""
     tcfg = infer_config(cfg)
 
-    @jax.jit
-    def run(variables, points, colors, valid):
-        outs = model.apply(variables, points, colors, valid, train=False)
-        return fcaf3d_get_bboxes(outs, tcfg)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        n_dev = mesh.devices.size
+        assert batch_size % n_dev == 0, (
+            f"batch_size {batch_size} must be a multiple of the mesh's "
+            f"{n_dev} devices")
+        rep, shard = replicate(mesh), shard_batch(mesh)
+
+        def run_fn(variables, points, colors, valid):
+            outs = model.apply(variables, points, colors, valid, train=False)
+            return fcaf3d_get_bboxes(outs, tcfg)
+
+        run = jax.jit(
+            run_fn,
+            in_shardings=(rep, shard, shard, shard),
+            out_shardings=rep,
+        )
+    else:
+        @jax.jit
+        def run(variables, points, colors, valid):
+            outs = model.apply(variables, points, colors, valid, train=False)
+            return fcaf3d_get_bboxes(outs, tcfg)
 
     n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
     gt_annos: List[dict] = []
     dt_annos: List[dict] = []
-    rng_root = np.random.default_rng(seed)
     for lo in range(0, n, batch_size):
         idxs = list(range(lo, min(lo + batch_size, n)))
         samples = [dataset(i, np.random.default_rng([seed, i])) for i in idxs]
+        n_real = len(samples)
+        if mesh is not None and n_real < batch_size:
+            # pad the last batch so the sharded step keeps its static shape;
+            # padded samples' detections are dropped below
+            samples = samples + [samples[-1]] * (batch_size - n_real)
         batch = collate(samples, cfg.num_points, cfg.max_gt_boxes)
-        dets = run(
-            variables,
-            jnp.asarray(batch["points"]),
-            jnp.asarray(batch["colors"]),
-            jnp.asarray(batch["valid"]),
-        )
-        for j, s in enumerate(samples):
-            dt_annos.append(detections_to_numpy(dets, j))
+        samples = samples[:n_real]
+        if tta:
+            dt_annos.extend(
+                aug_test_batch(run, variables, batch, cfg, FLIP_TTA,
+                               rotated=cfg.with_yaw)[:n_real])
+        else:
+            dets = run(
+                variables,
+                jnp.asarray(batch["points"]),
+                jnp.asarray(batch["colors"]),
+                jnp.asarray(batch["valid"]),
+            )
+            for j in range(len(samples)):
+                dt_annos.append(detections_to_numpy(dets, j))
+        for s in samples:
             gt_annos.append(
                 {"gt_boxes_3d": s["gt_boxes"], "gt_labels_3d": s["gt_labels"]}
             )

@@ -104,3 +104,71 @@ def test_convert_matches_model_tree():
         zeros + 1.0, zeros + 100.0, jnp.ones((b, p), bool),
     )
     assert np.all(np.isfinite(np.asarray(outs[0].cls_scores)))
+
+
+def test_me_offset_order_impulse():
+    """The converter's ME->ours kernel permutation, verified end to end by
+    an impulse: ME convolution semantics are defined INDEPENDENTLY here as
+    a dense conv whose kernel is assembled with ME's region enumeration
+    (first coordinate fastest: k_me = (dx+1) + 3*(dy+1) + 9*(dz+1)), and the
+    permuted weights through our sparse conv must reproduce it exactly.
+    A wrong permutation (e.g. identity) must FAIL this test."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.ops.sparse.conv import sparse_conv
+    from fcaf3d_tpu.ops.sparse.tensor import SparseTensor, encode_coords, sort_rows
+
+    rng = np.random.RandomState(0)
+    # ME-layout weights [27, 1, 1]: value k at ME offset index k
+    w_me = np.arange(27, dtype=np.float32).reshape(27, 1, 1) + 1.0
+
+    # independent ME-semantics oracle: dense 3x3x3 kernel, x fastest
+    w_dense = np.zeros((3, 3, 3, 1, 1), np.float32)  # [dx, dy, dz, ci, co]
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                k_me = dx + 3 * dy + 9 * dz
+                w_dense[dx, dy, dz, 0, 0] = w_me[k_me, 0, 0]
+
+    # sparse occupancy with an impulse + random neighbors
+    size = 6
+    grid = rng.rand(size, size, size) < 0.5
+    grid[2, 3, 1] = True
+    coords = np.argwhere(grid).astype(np.int32)
+    dense_in = np.zeros((1, size, size, size, 1), np.float32)
+    feats = rng.randn(len(coords), 1).astype(np.float32)
+    dense_in[0, coords[:, 0], coords[:, 1], coords[:, 2], 0] = feats[:, 0]
+
+    # dense oracle: out(u) = sum_i w_dense[i] * in(u + offset_i), which as a
+    # cross-correlation needs the kernel REVERSED for lax.conv semantics
+    out_dense = jax.lax.conv_general_dilated(
+        jnp.asarray(dense_in),
+        jnp.asarray(w_dense),
+        window_strides=(1, 1, 1),
+        padding=((1, 1),) * 3,
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+    )
+
+    # our sparse conv with the converter-permuted weights
+    perm = me_offset_permutation(3, "x_fastest")
+    w_ours = jnp.asarray(w_me[perm])
+    cap = len(coords)
+    cj = jnp.asarray(coords[None])
+    keys = encode_coords(cj)
+    cj, fj, keys = sort_rows(cj, jnp.asarray(feats[None]), keys)
+    st = SparseTensor(coords=cj, feats=fj, keys=keys,
+                      shift=jnp.zeros((1, 3), jnp.int32), stride=1)
+    out = sparse_conv(st, w_ours, 3, 1)
+
+    oc = np.asarray(out.coords[0])
+    of = np.asarray(out.feats[0])
+    expect = np.asarray(out_dense[0])
+    for c, f in zip(oc, of):
+        np.testing.assert_allclose(f[0], expect[c[0], c[1], c[2], 0],
+                                   rtol=1e-5, atol=1e-5)
+
+    # discriminating power: the identity (un-permuted) layout must NOT match
+    out_wrong = sparse_conv(st, jnp.asarray(w_me), 3, 1)
+    diffs = np.abs(np.asarray(out_wrong.feats[0]) - of)
+    assert diffs.max() > 1.0

@@ -32,11 +32,14 @@ def me_offset_permutation(kernel_size: int, order: str = "x_fastest"):
     n = k ** 3
     if order == "x_slowest":  # already ours
         return np.arange(n)
-    # ME x-fastest: index = x + k*y + k*k*z ; ours: z + k*y + k*k*x
+    # ME x-fastest: their index = x + k*y + k*k*z ; our index = k*k*x + k*y
+    # + z. ours[i] = theirs[p[i]], so p re-encodes our (x, y, z) with THEIR
+    # strides. (Round-1 shipped `z + k*y + k*k*x` here, which is arithmetic-
+    # ally the identity — caught by test_me_offset_order_impulse.)
     ours = np.arange(n)
     x, rem = ours // (k * k), ours % (k * k)
     y, z = rem // k, rem % k
-    return z + k * y + k * k * x
+    return x + k * y + k * k * z
 
 
 def convert(state_dict: dict, n_resnet_layers=(3, 4, 6, 3), n_levels: int = 4,

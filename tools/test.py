@@ -17,6 +17,12 @@ def main():
     ap.add_argument("--max-scenes", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="json file for metrics")
+    ap.add_argument("--tta", action="store_true",
+                    help="4-way BEV flip test-time augmentation "
+                         "(MultiScaleFlipAug3D + aug_test analog)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard val scenes across all local devices "
+                         "(multi_gpu_test analog; batch must divide evenly)")
     args = ap.parse_args()
 
     from fcaf3d_tpu.apis.inference import init_detector
@@ -47,9 +53,15 @@ def main():
         test_mode=True,
     )
     model, variables = init_detector(cfg, args.work_dir)
+    mesh = None
+    if args.sharded:
+        from fcaf3d_tpu.parallel.mesh import data_mesh
+
+        mesh = data_mesh()
     metrics = evaluate_dataset(
         model, variables, val, cfg,
         batch_size=args.batch, seed=args.seed, max_scenes=args.max_scenes,
+        tta=args.tta, mesh=mesh,
     )
     for k in sorted(metrics):
         print(f"{k}: {metrics[k]:.4f}")
