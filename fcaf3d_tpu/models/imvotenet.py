@@ -4,10 +4,10 @@ Clean-room equivalent of the reference's `ImVoteNet` detector + `VoteFusion`
 (`/root/reference/mmdet3d/models/detectors/imvotenet.py`,
 `models/fusion_layers/vote_fusion.py`). The reference trains stage 2 with a
 *frozen* pretrained 2D Faster R-CNN (`imvotenet.py:169-215`); here the 2D
-branch is an input interface — pass precomputed 2D detections
-[x1, y1, x2, y2, conf, cls] per image (from the frozen reference branch, a
-2D detector of your choice, or GT boxes). The in-framework 2D detector is
-tracked as future work.
+branch takes precomputed 2D detections [x1, y1, x2, y2, conf, cls] per
+image — produced in-framework by `detector2d.extract_bboxes_2d` (the
+stage-1 FCOS-style branch trained by `tools/train_detector2d.py`), by an
+external detector, or by GT boxes.
 
 Fusion cues per (seed, imvote), exactly as `vote_fusion.py:12-199`:
 geometric (2D-vote lifted to 3D ray: xz displacement + unit ray, 5 dims),
