@@ -221,6 +221,51 @@ class SparseBasicBlock(nn.Module):
         return sparse_relu(out)
 
 
+class SparseBottleneck(nn.Module):
+    """ME `resnet_block.Bottleneck` (expansion 4): conv1x1-BN-ReLU ->
+    conv3(stride)-BN-ReLU -> conv1x1(4*planes)-BN (+skip), used by the
+    reference's depth-50/101 backbones (`me_resnet.py:113-118`)."""
+
+    planes: int
+    stride: int = 1
+    out_budget: Optional[int] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        st: SparseTensor,
+        train: bool = False,
+        plans=None,
+    ) -> SparseTensor:
+        """`plans` = (plan_conv2, _, plan_downsample); conv1/conv3 are k1
+        on unchanged maps and need no plan."""
+        p2, _, pds = plans if plans is not None else (None, None, None)
+        out_ch = self.planes * self.expansion
+        residual = st
+        out = SparseConv(self.planes, 1, name="conv1")(st)
+        out = SparseBatchNorm(name="norm1")(out, train)
+        out = sparse_relu(out)
+        out = SparseConv(
+            self.planes, 3, stride=self.stride, out_budget=self.out_budget,
+            name="conv2",
+        )(out, plan=p2)
+        out = SparseBatchNorm(name="norm2")(out, train)
+        out = sparse_relu(out)
+        out = SparseConv(out_ch, 1, name="conv3")(out)
+        out = SparseBatchNorm(name="norm3")(out, train)
+
+        if self.stride != 1 or st.num_channels != out_ch:
+            residual = SparseConv(
+                out_ch, 1, stride=self.stride, out_budget=self.out_budget,
+                name="downsample_conv",
+            )(st, plan=pds)
+            residual = SparseBatchNorm(name="downsample_norm")(residual, train)
+
+        out = out.with_feats(out.feats + residual.feats)
+        return sparse_relu(out)
+
+
 class SparseGenConv3(nn.Module):
     """k3 s1 conv on a parent-major generated child map via block gathers
     (`gen_gather_gemm`) — same math as SparseConv with the analytic plan,

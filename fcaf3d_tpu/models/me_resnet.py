@@ -25,16 +25,20 @@ from ..ops.sparse.tensor import SparseTensor
 from .blocks import (
     SparseBasicBlock,
     SparseBatchNorm,
+    SparseBottleneck,
     SparseConv,
     SparseInstanceNorm,
     sparse_pool2x2,
     sparse_relu,
 )
 
+# depth -> (block layers, bottleneck?) (reference `me_resnet.py:104-121`)
 DEPTH_LAYERS = {
-    14: (1, 1, 1, 1),
-    18: (2, 2, 2, 2),
-    34: (3, 4, 6, 3),
+    14: ((1, 1, 1, 1), False),
+    18: ((2, 2, 2, 2), False),
+    34: ((3, 4, 6, 3), False),
+    50: ((4, 3, 6, 3), True),
+    101: ((3, 4, 23, 3), True),
 }
 PLANES = (64, 128, 256, 512)
 INIT_DIM = 64
@@ -44,8 +48,7 @@ class MEResNet3D(nn.Module):
     """HDResNet backbone over the sparse engine.
 
     Attributes:
-        depth: 14/18/34 (BasicBlock variants; Bottleneck depths 50/101 of the
-            reference are not wired yet).
+        depth: 14/18/34 (BasicBlock) or 50/101 (Bottleneck, expansion 4).
         n_outs: number of output scales (1-4).
         budgets: row capacity per downsample level, ordered by stride
             (2, 4, 8, 16, 32, 64) — six entries regardless of n_outs.
@@ -59,7 +62,8 @@ class MEResNet3D(nn.Module):
     def __call__(
         self, st: SparseTensor, train: bool = False
     ) -> Tuple[SparseTensor, ...]:
-        layers = DEPTH_LAYERS[self.depth]
+        layers, bottleneck = DEPTH_LAYERS[self.depth]
+        block_cls = SparseBottleneck if bottleneck else SparseBasicBlock
         b2, b4, b8, b16, b32, b64 = self.budgets
         x = SparseConv(INIT_DIM, 3, stride=2, out_budget=b2, name="conv1")(st)
         x = SparseInstanceNorm(name="norm1")(x)
@@ -79,12 +83,12 @@ class MEResNet3D(nn.Module):
             plan_s1 = (out_coords, out_keys, build_kernel_map_self(
                 out_keys, out_coords, x.stride * 2), drop)
             # remat each block: recompute activations in the backward pass
-            block0 = nn.remat(SparseBasicBlock, static_argnums=(2,))(
+            block0 = nn.remat(block_cls, static_argnums=(2,))(
                 PLANES[i], stride=2, out_budget=stage_budgets[i],
                 name=f"layer{i + 1}_0")
             x = block0(x, train, (plan_s2, plan_s1, plan_ds))
             for j in range(1, layers[i]):
-                blk = nn.remat(SparseBasicBlock, static_argnums=(2,))(
+                blk = nn.remat(block_cls, static_argnums=(2,))(
                     PLANES[i], name=f"layer{i + 1}_{j}")
                 x = blk(x, train, (plan_s1, plan_s1, None))
             outs.append(x)

@@ -187,3 +187,24 @@ def test_fast_variant_configs_forward():
     assert len(outs) == 2
     dets = fcaf3d_get_bboxes(outs, infer_config(tiny2))
     assert np.all(np.isfinite(np.asarray(dets.boxes)))
+
+
+def test_bottleneck_depth50_backbone():
+    """Depth-50 Bottleneck backbone (reference `me_resnet.py:113-118`):
+    expansion-4 outputs, end-to-end forward on tiny budgets."""
+    import dataclasses
+
+    from fcaf3d_tpu.models.me_resnet import MEResNet3D
+    from fcaf3d_tpu.ops.sparse import voxelize
+
+    rng = np.random.RandomState(5)
+    pts, colors, valid, *_ = synth_batch(rng, b=1)
+    st = jax.jit(lambda a, c, v: voxelize(a, c, v, 0.02, 512))(pts, colors, valid)
+    bb = MEResNet3D(depth=50, n_outs=2, budgets=(256, 128, 96, 48, 24, 12))
+    variables = jax.jit(bb.init)(jax.random.PRNGKey(0), st)
+    outs = jax.jit(bb.apply)(variables, st)
+    assert len(outs) == 2
+    assert outs[0].num_channels == 64 * 4  # Bottleneck expansion
+    assert outs[1].num_channels == 128 * 4
+    for o in outs:
+        assert np.all(np.isfinite(np.asarray(o.feats)))
