@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--config", default="fcaf3d_scannet",
+                    help="config factory name from fcaf3d_tpu.configs "
+                         "(e.g. fcaf3d_scannet_3scales, fcaf3d_sunrgbd)")
     args = ap.parse_args()
 
     import jax
@@ -50,10 +53,10 @@ def main():
     from fcaf3d_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
 
-    from fcaf3d_tpu.configs import fcaf3d_scannet
+    from fcaf3d_tpu import configs
     from fcaf3d_tpu.models import FCAF3D
 
-    cfg = fcaf3d_scannet()
+    cfg = getattr(configs, args.config)()
     model = FCAF3D(cfg)
     rng = np.random.RandomState(0)
     b, p = args.batch, cfg.num_points

@@ -8,3 +8,4 @@ from .fcaf3d import (  # noqa: F401
     fcaf3d_nano,
     fcaf3d_tiny,
 )
+from .override import add_set_argument, apply_overrides  # noqa: F401

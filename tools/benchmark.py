@@ -3,7 +3,8 @@
 
 Measures end-to-end scenes/sec (voxelize -> backbone -> head -> NMS) with
 serialized on-device timing. `bench.py` at the repo root is the fixed
-driver entrypoint; this CLI adds model/dataset/batch options.
+driver entrypoint; this CLI adds model/dataset/batch options and forwards
+the chosen config factory name to it (no monkey-patching).
 """
 import argparse
 import os
@@ -25,20 +26,17 @@ def main():
     if args.scales != 4 and args.dataset != "scannet":
         ap.error("--scales fast variants exist for ScanNet only")
 
-    sys.argv = [sys.argv[0], "--batch", str(args.batch), "--iters", str(args.iters)]
+    config = {
+        ("scannet", 4): "fcaf3d_scannet",
+        ("scannet", 3): "fcaf3d_scannet_3scales",
+        ("scannet", 2): "fcaf3d_scannet_2scales",
+        ("sunrgbd", 4): "fcaf3d_sunrgbd",
+        ("s3dis", 4): "fcaf3d_s3dis",
+    }[(args.dataset, args.scales)]
+    sys.argv = [sys.argv[0], "--batch", str(args.batch),
+                "--iters", str(args.iters), "--config", config]
     import bench as root_bench  # reuse the driver bench implementation
 
-    if args.dataset != "scannet" or args.scales != 4:
-        from fcaf3d_tpu import configs as C
-
-        base = {
-            ("scannet", 4): C.fcaf3d_scannet,
-            ("scannet", 3): C.fcaf3d_scannet_3scales,
-            ("scannet", 2): C.fcaf3d_scannet_2scales,
-            ("sunrgbd", 4): C.fcaf3d_sunrgbd,
-            ("s3dis", 4): C.fcaf3d_s3dis,
-        }[(args.dataset, args.scales)]()
-        C.fcaf3d_scannet = lambda: base  # bench reads this constructor
     root_bench.main()
 
 

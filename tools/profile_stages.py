@@ -15,6 +15,8 @@ import numpy as np  # noqa: E402
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -29,9 +31,15 @@ def main():
     from fcaf3d_tpu.models.me_resnet import MEResNet3D
     from fcaf3d_tpu.ops.sparse import voxelize
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--full-only", action="store_true",
+                    help="only the two FULL-forward lines (fast compile)")
+    args = ap.parse_args()
+
     cfg = fcaf3d_scannet()
     rng = np.random.RandomState(0)
-    b, p = 1, cfg.num_points
+    b, p = args.batch, cfg.num_points
     pts = jnp.asarray(rng.uniform(0, 6.0, (b, p, 3)).astype(np.float32))
     cols = jnp.asarray(rng.uniform(0, 1, (b, p, 3)).astype(np.float32))
     valid = jnp.ones((b, p), bool)
@@ -81,6 +89,8 @@ def main():
           lambda a, v, c, m: fcaf3d_get_bboxes(
               model.apply(v, a, c, m, train=False), tcfg),
           pts, variables, cols, valid)
+    if args.full_only:
+        return
 
     vox = lambda a, c, v: voxelize(a, c, v, cfg.voxel_size, cfg.input_budget)
     bench("voxelize", vox, pts, cols, valid)
@@ -142,7 +152,7 @@ def main():
     bench("conv k3s1 65k generic kmap", lambda s, w: sparse_conv(s, w, 3, 1), gen_sorted, w3)
     bench("union add (65k+24k)", sparse_union_add, gen_sorted, st8)
     added = jax.jit(sparse_union_add)(gen_sorted, st8)
-    sc = jnp.asarray(rng.randn(1, st16.capacity, 1).astype(np.float32))
+    sc = jnp.asarray(rng.randn(b, st16.capacity, 1).astype(np.float32))
     bench("interp+prune (89k->32k)",
           lambda a, s16, s: sparse_prune(
               a, interpolate_at(s16.with_feats(s), a.coords.astype(jnp.float32))[..., 0],

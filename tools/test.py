@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--sharded", action="store_true",
                     help="shard val scenes across all local devices "
                          "(multi_gpu_test analog; batch must divide evenly)")
+    from fcaf3d_tpu.configs import add_set_argument, apply_overrides
+    add_set_argument(ap)
     args = ap.parse_args()
 
     from fcaf3d_tpu.apis.inference import init_detector
@@ -44,6 +46,8 @@ def main():
     else:
         cfg, classes, ann, align = (
             fcaf3d_s3dis(), S3DIS_CLASSES, "s3dis_infos_Area_5.pkl", False)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
 
     val = IndoorDetDataset(
         args.data_root,

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--autoscale-lr", action="store_true",
                     help="linearly scale lr by batch/16 (reference "
                          "`tools/train.py:74-77` world-size rule)")
+    from fcaf3d_tpu.configs import add_set_argument, apply_overrides
+    add_set_argument(ap)
     args = ap.parse_args()
 
     from fcaf3d_tpu.apis.test import evaluate_dataset, make_test_pipeline
@@ -59,9 +61,22 @@ def main():
     if args.scales != 4 and args.dataset != "scannet":
         ap.error("--scales fast variants exist for ScanNet only")
 
+    cfg = {
+        "scannet": {4: fcaf3d_scannet, 3: fcaf3d_scannet_3scales,
+                    2: fcaf3d_scannet_2scales}[args.scales],
+        "sunrgbd": fcaf3d_sunrgbd,
+        "s3dis": fcaf3d_s3dis,
+    }[args.dataset]()
+    if args.batch:
+        cfg = dataclasses.replace(cfg, batch_size=args.batch)
+    if args.epochs:
+        cfg = dataclasses.replace(cfg, max_epochs=args.epochs)
+    if args.overrides:
+        cfg = apply_overrides(cfg, args.overrides)
+    if args.autoscale_lr:
+        cfg = dataclasses.replace(cfg, lr=cfg.lr * cfg.batch_size / 16)
+
     if args.dataset == "scannet":
-        cfg = {4: fcaf3d_scannet, 3: fcaf3d_scannet_3scales,
-               2: fcaf3d_scannet_2scales}[args.scales]()
         classes = SCANNET_CLASSES
         train_pipe = Compose([
             GlobalAlignment(),
@@ -87,7 +102,6 @@ def main():
             test_mode=True,
         )
     elif args.dataset == "sunrgbd":
-        cfg = fcaf3d_sunrgbd()
         classes = SUNRGBD_CLASSES
         train_pipe = Compose([
             PointSample(cfg.num_points),
@@ -111,7 +125,6 @@ def main():
             test_mode=True,
         )
     else:
-        cfg = fcaf3d_s3dis()
         classes = S3DIS_CLASSES
         train_pipe = Compose([
             PointSample(cfg.num_points),
@@ -131,13 +144,6 @@ def main():
             make_test_pipeline(cfg, align=False),
             test_mode=True,
         )
-
-    if args.batch:
-        cfg = dataclasses.replace(cfg, batch_size=args.batch)
-    if args.epochs:
-        cfg = dataclasses.replace(cfg, max_epochs=args.epochs)
-    if args.autoscale_lr:
-        cfg = dataclasses.replace(cfg, lr=cfg.lr * cfg.batch_size / 16)
 
     loader = Loader(
         ds, cfg.batch_size, cfg.num_points, cfg.max_gt_boxes, seed=args.seed
