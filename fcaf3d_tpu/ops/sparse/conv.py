@@ -147,29 +147,31 @@ def build_kernel_map(
             zj = zq + j * lattice
             valids.append(base_ok & (zj >= 0) & (zj < EXTENT[2]))
 
-    q = jnp.stack(streams, axis=1)  # [B, n_streams, M]
+    # segments minor ([B, M, S]): streams land on TPU lanes, so neither the
+    # queries nor the search results need a transpose (see search.py)
+    q = jnp.stack(streams, axis=-1)
     import math
 
     gs = 0
     for _, _, _, c, _ in groups:
         gs = math.gcd(gs, c + 1)
     pos = searchsorted_segments(
-        in_keys, q, with_miss=False, group_size=gs)  # [B, S, M]
+        in_keys, q, with_miss=False, group_size=gs, layout="ms")  # [B, M, S]
     pos = jnp.minimum(pos, n)
 
     cols = []
     si = 0
     vi = 0
-    miss = jnp.full_like(pos[:, 0], n)
+    miss = jnp.full_like(pos[..., 0], n)
     for gi, (_, _, _, c, _) in enumerate(groups):
         shift = shifts[gi]
-        diffs = [pos[:, si + j + 1] > pos[:, si + j] for j in range(c)]
+        diffs = [pos[..., si + j + 1] > pos[..., si + j] for j in range(c)]
         for j in range(c):
             # element j's stream index is j, or j-1 on shifted rows
             if j == 0:
-                pj, hj = pos[:, si], diffs[0]  # shift rows are invalid at j=0
+                pj, hj = pos[..., si], diffs[0]  # shift rows are invalid at j=0
             else:
-                pj = jnp.where(shift, pos[:, si + j - 1], pos[:, si + j])
+                pj = jnp.where(shift, pos[..., si + j - 1], pos[..., si + j])
                 hj = jnp.where(shift, diffs[j - 1], diffs[j])
             hit = hj & valids[vi]
             cols.append(jnp.where(hit, pj, miss).astype(jnp.int32))
@@ -619,24 +621,24 @@ def interpolate_at(st: SparseTensor, positions: jnp.ndarray) -> jnp.ndarray:
     frac = pos - base
     base = base.astype(jnp.int32) * st.stride
     corners = np.array(list(itertools.product((0, 1), (0, 1), (0, 1))), np.int32)
-    # all 8 corner lookups in ONE segmented search call (each corner's
-    # queries are a constant shift of the same ordering)
-    cc = base[:, None, :, :] + jnp.asarray(corners * st.stride)[None, :, None, :]
+    # all 8 corner lookups in ONE segmented search call, corner-minor
+    # ([B, Q, 8] — segments on lanes, no transposes around the kernel)
+    cc = base[:, :, None, :] + jnp.asarray(corners * st.stride)[None, None, :, :]
     # corner order is z-fastest, so consecutive segment PAIRS share (x, y)
     # and have near-identical key ranges -> shared search windows
-    idx = lookup(st.keys, encode_coords(cc), segments=True, group_size=2)  # [B, 8, Q]
+    idx = lookup(st.keys, encode_coords(cc), segments=True, group_size=2)  # [B, Q, 8]
     w = jnp.prod(
         jnp.where(
-            jnp.asarray(corners, bool)[None, :, None, :],
-            frac[:, None, :, :],
-            1.0 - frac[:, None, :, :],
+            jnp.asarray(corners, bool)[None, None, :, :],
+            frac[:, :, None, :],
+            1.0 - frac[:, :, None, :],
         ),
         axis=-1,
-    )  # [B, 8, Q]
-    b, _, q = idx.shape
-    f = _gather_rows(st.feats, idx.reshape(b, 8 * q, 1))[:, :, 0, :]
-    f = f.reshape(b, 8, q, -1)
-    return jnp.sum(f * w[..., None], axis=1)
+    )  # [B, Q, 8]
+    b, q, _ = idx.shape
+    f = _gather_rows(st.feats, idx.reshape(b, q * 8, 1))[:, :, 0, :]
+    f = f.reshape(b, q, 8, -1)
+    return jnp.sum(f * w[..., None], axis=2)
 
 
 def _gen_route_tables():

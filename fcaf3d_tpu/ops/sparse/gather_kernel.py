@@ -26,14 +26,18 @@ enforced by in-range masks, never by the span heuristics.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_ROWS = 512  # output rows per tile
-W_SUB = 640  # per-piece sub-span (VMEM slice + one-hot width)
-W_BIG = 4096  # per-tile union window (one DMA per tile)
+T_ROWS = int(os.environ.get("FCAF3D_GATHER_T", "512"))  # output rows per tile
+# per-piece sub-span (VMEM slice + one-hot width); the one-hot select costs
+# T*W_SUB MACs per output tile per offset, and spans scale ~linearly with
+# T, so (T_ROWS, W_SUB) shrink together
+W_SUB = int(os.environ.get("FCAF3D_GATHER_W", "640"))
+W_BIG = int(os.environ.get("FCAF3D_GATHER_WBIG", "4096"))  # per-tile union window
 
 
 def _make_kernel(t_rows: int, w_sub: int, w_big: int):
@@ -146,8 +150,13 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int):
                 )
 
             return jax.lax.cond(
-                fits_big & one_piece, fast1,
-                lambda u: jax.lax.cond(fits_big, fastN, slow, u), 0,
+                hi <= lo,  # offset has no hits in this tile (map edges)
+                lambda u: jnp.zeros((t_rows, c), jnp.float32),
+                lambda u: jax.lax.cond(
+                    fits_big & one_piece, fast1,
+                    lambda v: jax.lax.cond(fits_big, fastN, slow, v), u,
+                ),
+                0,
             )
 
         def offset_body(kk, out_acc):

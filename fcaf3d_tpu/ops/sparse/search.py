@@ -7,12 +7,23 @@ segments* (each kernel offset shifts the sorted output keys by a constant):
 
 1. XLA precomputes, per query chunk of T, the key range [start, end) that
    can contain its answers (two cheap searchsorteds over chunk min/max —
-   correct for ANY query order; tight when segments are sorted).
-2. The Pallas kernel DMA-streams W-wide key windows from HBM and counts
-   `key < query` with an all-pairs [T, W] vector compare — no gathers.
-   `idx = start + count`, exactly `searchsorted(..., side='left')`.
+   correct for ANY query order; tight when segments are sorted). Bounds
+   are clamped to the valid-key prefix so SENTINEL padding queries (up to
+   half of a budgeted map's rows) cost nothing instead of walking the
+   sentinel tail.
+2. The whole key array lives in VMEM (sparse maps have <=64k keys =
+   256KB, far under the ~16MB VMEM): the Pallas kernel walks the chunk's
+   key range in L-key rows and counts `key < query` with [T, L] vector
+   compares — no DMA windows, no gathers. `idx = start + count`, exactly
+   `searchsorted(..., side='left')`. Per-row stream counts are reduced by
+   ONE MXU dot against a static block-diagonal ones matrix (VPU cross-lane
+   reductions were the dominant cost).
+3. Queries are segments-minor ([B, M, S], segments on lanes): hot callers
+   generate and consume that layout directly (XLA fuses it into the
+   producers), each segment's column is a static (T, 1) lane slice in the
+   kernel, and no transpose exists anywhere on the path.
 
-Falls back to `jnp.searchsorted` off-TPU (and under interpret mode tests).
+Falls back to `jnp.searchsorted` off-TPU (and under interpret-mode tests).
 """
 from __future__ import annotations
 
@@ -22,161 +33,157 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_QUERIES = 512  # queries per chunk (span ~ T x density, so compare work ~ T^2)
-W_KEYS = 1024  # key window per DMA (start 128-aligned for Mosaic slicing)
-W_STEP = W_KEYS - 128  # effective advance per window (alignment slack)
+import os
+
+T_QUERIES = int(os.environ.get("FCAF3D_SEARCH_T", "512"))  # queries per chunk
+L_KEYS = int(os.environ.get("FCAF3D_SEARCH_L", "128"))  # keys per compare row
 
 
-def _make_kernel(miss_val: int, gsz: int):
+def _make_kernel(miss_val: int, gsz: int, n_groups: int, t_q: int):
     """miss_val < 0 -> plain searchsorted positions; miss_val >= 0 -> hit-
     verified lookup: rows whose query has no exact key match (or is the
-    SENTINEL) return `miss_val` instead of the insertion position. Doing the
-    equality test inside the window scan makes the separate hit-check gather
-    (`take_along_axis(keys, idx) == q`, ~2GB/s on TPU) unnecessary — it was
-    the single largest cost of the round-1 forward pass.
+    SENTINEL) return `miss_val` instead of the insertion position. The
+    equality count rides the same compare rows, replacing the separate
+    hit-check gather (`take_along_axis(keys, idx) == q`, ~2GB/s on TPU)
+    that was the single largest cost of the round-1 forward pass.
 
-    `gsz` consecutive segments are processed per window (their chunk ranges
-    are unioned): kmap z-stream ladders and interpolation corner pairs have
-    near-identical ranges, so one DMA + bounds computation serves the whole
-    group — the per-chunk fixed cost is the dominant term once windows are
-    span-sized (chunk spans are ~T * density ratio ~ 140, far below even
-    this 512-key window)."""
+    `gsz` consecutive segments share one key range (their chunk bounds are
+    unioned by the caller): kmap z-stream ladders and interpolation corner
+    pairs have near-identical ranges, so one range walk serves the group."""
 
-    def _kernel(starts_ref, ends_ref, keys_hbm, q_ref, out_ref, scratch, sem):
+    def _kernel(starts_ref, ends_ref, keys_ref, q_ref, out_ref):
         from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
 
         b = pl.program_id(0)
         c = pl.program_id(1)
         n_chunks = pl.num_programs(1)
-        segs = q_ref.shape[1]
-        n_keys = keys_hbm.shape[2]  # padded to >= W_KEYS
-        n_groups = segs // gsz
+        sent = jnp.uint32(0xFFFFFFFF)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, L_KEYS), 1)
+        # static block-diagonal ones [gsz*L, gsz]: the per-stream lane
+        # reduction of the compare matrices becomes ONE MXU dot (VPU
+        # cross-lane reductions per row were the kernel's dominant cost)
+        blk = (
+            jax.lax.broadcasted_iota(jnp.int32, (gsz * L_KEYS, gsz), 0)
+            // L_KEYS
+            == jax.lax.broadcasted_iota(jnp.int32, (gsz * L_KEYS, gsz), 1)
+        ).astype(jnp.bfloat16)
 
-        def grp_body(g, _):
-            s0 = g * gsz
-            # bounds are precomputed at GROUP granularity
+        for g in range(n_groups):
             flat0 = (b * n_groups + g) * n_chunks + c
             start = starts_ref[flat0]
             end = ends_ref[flat0]
-            qs = [q_ref[0, s0 + k, :] for k in range(gsz)]  # each [T]
-            qTs = [qq.reshape(T_QUERIES, 1) for qq in qs]
+            s0 = g * gsz
+            # (T, 1) lane slices of the pre-transposed query block
+            qTs = [q_ref[0, 0, :, s0 + k: s0 + k + 1] for k in range(gsz)]
 
-            n_pieces = pl.cdiv(end - start, W_STEP)
+            r0 = start // L_KEYS
+            n_rows = pl.cdiv(end - r0 * L_KEYS, L_KEYS)
 
-            def body(i, carry):
-                lo = start + i * W_STEP
-                hi = jnp.minimum(end, lo + W_STEP)
-                # 128-aligned, in-bounds DMA window; masking recovers [lo, hi)
-                piece = jnp.maximum(0, jnp.minimum(lo, n_keys - W_KEYS))
-                piece = pl.multiple_of((piece // 128) * 128, 128)
-                dma = pltpu.make_async_copy(
-                    keys_hbm.at[b, pl.ds(0, 1), pl.ds(piece, W_KEYS)], scratch,
-                    sem,
+            def row_body(i, carry):
+                cnt_lt, cnt_eq = carry
+                kw = keys_ref[0, pl.ds(r0 + i, 1), :]  # (1, L)
+                # mask keys below `start` in the first (unaligned) row;
+                # keys at/after `end` are > every query in the group by
+                # construction, so no upper mask is needed
+                pos = (r0 + i) * L_KEYS + col
+                kw = jnp.where(pos >= start, kw, sent)
+                lt = jnp.concatenate(
+                    [(kw < q).astype(jnp.bfloat16) for q in qTs], axis=1
+                )  # (T, gsz*L)
+                cnt_lt = cnt_lt + jax.lax.dot_general(
+                    lt, blk, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                dma.start()
-                dma.wait()
-                kw = scratch[0, :]  # [W]
-                pos = piece + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, W_KEYS), 1)[0]
-                in_range = (pos >= lo) & (pos < hi)
-                kw = jnp.where(in_range, kw, jnp.uint32(0xFFFFFFFF))
-                kwr = kw.reshape(1, W_KEYS)
-                new = []
-                for k in range(gsz):
-                    new.append(carry[len(new)] + jnp.sum(
-                        (kwr < qTs[k]).astype(jnp.int32), axis=1))
-                    if miss_val >= 0:
-                        # count_le - count_lt > 0 <=> an exact match exists;
-                        # masked-out positions are SENTINEL, and SENTINEL
-                        # queries are rejected after the loop
-                        new.append(carry[len(new)] + jnp.sum(
-                            (kwr <= qTs[k]).astype(jnp.int32), axis=1))
-                return tuple(new)
-
-            stride = 2 if miss_val >= 0 else 1
-            zeros = tuple(
-                jnp.zeros((T_QUERIES,), jnp.int32)
-                for _ in range(gsz * stride)
-            )
-            counts = jax.lax.fori_loop(0, n_pieces, body, zeros)
-            for k in range(gsz):
-                idx = start + counts[k * stride]
                 if miss_val >= 0:
-                    hit = (counts[k * stride + 1] > counts[k * stride]) & (
-                        qs[k] != jnp.uint32(0xFFFFFFFF))
-                    idx = jnp.where(hit, idx, miss_val)
-                out_ref[0, s0 + k, :] = idx
-            return 0
+                    eq = jnp.concatenate(
+                        [(kw == q).astype(jnp.bfloat16) for q in qTs], axis=1
+                    )
+                    cnt_eq = cnt_eq + jax.lax.dot_general(
+                        eq, blk, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return cnt_lt, cnt_eq
 
-        jax.lax.fori_loop(0, n_groups, grp_body, 0)
+            zeros = (jnp.zeros((t_q, gsz), jnp.float32),) * 2
+            cnt_lt, cnt_eq = jax.lax.fori_loop(0, n_rows, row_body, zeros)
+            cnt_lt = cnt_lt.astype(jnp.int32)
+            for k in range(gsz):
+                idx = start + cnt_lt[:, k: k + 1]
+                if miss_val >= 0:
+                    # any exact match in range <=> the query is present
+                    hit = (cnt_eq[:, k: k + 1] > 0.5) & (qTs[k] != sent)
+                    idx = jnp.where(hit, idx, miss_val)
+                out_ref[0, 0, :, s0 + k: s0 + k + 1] = idx
 
     return _kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "miss_val", "group_size"))
-def _searchsorted_pallas(keys, queries, starts, ends, interpret=False,
-                         miss_val=-1, group_size=1):
+    jax.jit, static_argnames=("interpret", "miss_val", "group_size", "n_segs"))
+def _searchsorted_pallas(keys, queries_t, starts, ends, interpret=False,
+                         miss_val=-1, group_size=1, n_segs=None):
+    """keys: [B, NR, L]; queries_t: [B, C, T, Sp] (chunked, segments minor,
+    lane-padded); n_segs = real segment count (<= Sp)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bsz = keys.shape[0]
-    _, segs, m = queries.shape
-    n_chunks = m // T_QUERIES
+    bsz, n_chunks, t_q, sp = queries_t.shape
+    segs = n_segs if n_segs is not None else sp
+    nr = keys.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(bsz, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # keys stay in HBM
-            pl.BlockSpec(
-                (1, segs, T_QUERIES),
-                lambda b, c, *_: (b, 0, c),
-                memory_space=pltpu.VMEM,
-            ),
+            # whole key array VMEM-resident, reloaded per batch row only
+            pl.BlockSpec((1, nr, L_KEYS), lambda b, c, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_q, sp), lambda b, c, *_: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, segs, T_QUERIES),
-            lambda b, c, *_: (b, 0, c),
+            (1, 1, t_q, sp), lambda b, c, *_: (b, c, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((1, W_KEYS), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
-        ],
     )
     return pl.pallas_call(
-        _make_kernel(miss_val, group_size),
+        _make_kernel(miss_val, group_size, segs // group_size, t_q),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(queries.shape, jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(queries_t.shape, jnp.int32),
         interpret=interpret,
-    )(starts.reshape(-1), ends.reshape(-1), keys, queries)
+    )(starts.reshape(-1), ends.reshape(-1), keys, queries_t)
 
 
 def searchsorted_segments(keys, queries, interpret=None, with_miss=False,
-                          group_size=1):
+                          group_size=1, layout="sm"):
     """Per-sample searchsorted(side='left') of segmented query arrays.
 
     Args:
         keys: [B, N] ascending uint32 per sample (SENTINEL padding at end).
-        queries: [B, S, M] uint32; each [M] segment should be roughly
-            ascending for performance (correct regardless).
+        queries: [B, S, M] uint32 (layout="sm") or [B, M, S] (layout="ms");
+            each segment's M values should be roughly ascending for
+            performance (correct regardless). Prefer "ms" on hot paths:
+            segments land on TPU lanes, so neither the queries nor the
+            results are transposed (callers generate/consume [B, M, S]
+            directly and XLA fuses the layout into producers).
         with_miss: if True, return hit-verified indices — rows whose query is
             not present in `keys` (or equals the SENTINEL) come back as N.
-            The equality test rides the same window compares, so it is free
+            The equality test rides the same compare rows, so it is free
             compared to a separate `take_along_axis` hit check.
-        group_size: segments per shared search window (must divide S); use
+        group_size: segments per shared key range (must divide S); use
             when consecutive segments have near-identical key ranges (z-
             stream ladders, interpolation corner pairs) to amortize the
-            per-chunk DMA + bounds cost.
+            per-chunk range walk.
 
     Returns:
-        idx: [B, S, M] int32 in [0, N] (with_miss: N means miss; else the
-        plain insertion position).
+        idx: int32 in [0, N], same shape/layout as `queries` (with_miss: N
+        means miss; else the plain insertion position).
     """
     bsz, n = keys.shape
-    _, segs, m = queries.shape
+    if layout == "sm":
+        _, segs, m = queries.shape
+    else:
+        _, m, segs = queries.shape
 
     use_pallas = interpret is True or (
         interpret is None and jax.default_backend() == "tpu"
@@ -194,39 +201,61 @@ def searchsorted_segments(keys, queries, interpret=None, with_miss=False,
             idx = jnp.where(hit, safe, n)
         return idx.reshape(queries.shape)
 
+    q = queries if layout == "ms" else jnp.swapaxes(queries, 1, 2)
     pad = (-m) % T_QUERIES
-    q = queries
     if pad:
-        q = jnp.pad(queries, ((0, 0), (0, 0), (0, pad)), constant_values=np.uint32(0xFFFFFFFF))
-    key_pad = max(W_KEYS - n, (-n) % 128)
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)),
+                    constant_values=np.uint32(0xFFFFFFFF))
+    key_pad = (-n) % L_KEYS
     if key_pad:
-        # sentinel-pad keys so full 128-aligned DMA windows always exist;
-        # sentinels never compare below any query so counts are unchanged
+        # sentinel-pad keys to full rows; sentinels never compare below any
+        # query so counts are unchanged
         keys = jnp.pad(
             keys, ((0, 0), (0, key_pad)), constant_values=np.uint32(0xFFFFFFFF)
         )
     assert segs % group_size == 0, (segs, group_size)
-    mp = q.shape[-1]
-    chunks = q.reshape(bsz, segs, mp // T_QUERIES, T_QUERIES)
-    cmin = jnp.min(chunks, axis=-1)  # [B, S, chunks]
-    cmax = jnp.max(chunks, axis=-1)
+    mp = q.shape[1]
+    n_chunks = mp // T_QUERIES
+    chunks = q.reshape(bsz, n_chunks, T_QUERIES, segs)
+    cmin = jnp.min(chunks, axis=2)  # [B, C, S]
+    cmax = jnp.max(chunks, axis=2)
     if group_size > 1:
         # the kernel unions bounds across each group anyway; narrowing at
         # group granularity cuts the searchsorted count group_size-fold
-        gshape = (bsz, segs // group_size, group_size, -1)
-        cmin = jnp.min(cmin.reshape(gshape), axis=2)
-        cmax = jnp.max(cmax.reshape(gshape), axis=2)
-    # key range per chunk via the (cheap) generic searchsorted
+        gshape = (bsz, n_chunks, segs // group_size, group_size)
+        cmin = jnp.min(cmin.reshape(gshape), axis=3)
+        cmax = jnp.max(cmax.reshape(gshape), axis=3)
+    # key range per chunk via the (cheap) generic searchsorted; the kernel
+    # indexes bounds as [(b, g, c)] so transpose the (tiny) bound arrays
     lo = jax.vmap(lambda k, v: jnp.searchsorted(k, v, side="left"))(
         keys, cmin.reshape(bsz, -1)
     ).astype(jnp.int32)
     hi = jax.vmap(lambda k, v: jnp.searchsorted(k, v, side="right"))(
         keys, cmax.reshape(bsz, -1)
     ).astype(jnp.int32)
+    # clamp to the valid-key prefix: SENTINEL queries (padding rows — up to
+    # half of a budgeted map) otherwise drag their chunk's range over the
+    # whole sentinel tail. Sentinel keys never compare below any query, and
+    # sentinel queries' results are don't-care (consumers mask them), so
+    # clamping changes no used output.
+    n_valid = jnp.sum(keys != np.uint32(0xFFFFFFFF), axis=1).astype(jnp.int32)
+    lo = jnp.minimum(lo, n_valid[:, None])
+    hi = jnp.minimum(hi, n_valid[:, None])
+    n_groups = segs // group_size
+    lo = jnp.swapaxes(lo.reshape(bsz, n_chunks, n_groups), 1, 2)
+    hi = jnp.swapaxes(hi.reshape(bsz, n_chunks, n_groups), 1, 2)
+    # pad the segment (lane) dim to a full 128-lane register: un-padded
+    # minor dims make every block copy a strided per-row transfer
+    s_pad = (-segs) % 128 if os.environ.get("FCAF3D_SEARCH_SPAD", "1") != "0" else 0
+    if s_pad:
+        chunks = jnp.pad(chunks, ((0, 0), (0, 0), (0, 0), (0, s_pad)),
+                         constant_values=np.uint32(0xFFFFFFFF))
     idx = _searchsorted_pallas(
-        keys.reshape(bsz, 1, -1), q, lo, hi, interpret=bool(interpret),
+        keys.reshape(bsz, -1, L_KEYS), chunks, lo, hi,
+        interpret=bool(interpret),
         miss_val=n if with_miss else -1, group_size=group_size,
-    )
+        n_segs=segs,
+    )[..., :segs].reshape(bsz, mp, segs)
     if pad:
-        idx = idx[..., :m]
-    return idx
+        idx = idx[:, :m]
+    return idx if layout == "ms" else jnp.swapaxes(idx, 1, 2)

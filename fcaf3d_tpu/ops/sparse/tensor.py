@@ -175,8 +175,9 @@ def lookup(
 
     Args:
         keys_sorted: [B, N] ascending uint32 (SENTINEL padding at the end).
-        queries: [B, ...] uint32. With segments=True, shape [B, S, M] where
-            each [M] slice is roughly ascending (drives the TPU kernel's
+        queries: [B, ...] uint32. With segments=True, shape [B, M, S]
+            (segments minor — they land on TPU lanes) where each segment's
+            [M] column is roughly ascending (drives the TPU kernel's
             windowing; correctness never depends on it).
 
     Returns:
@@ -187,12 +188,12 @@ def lookup(
 
     b, n = keys_sorted.shape
     q_shape = queries.shape
-    q3 = queries.reshape(b, q_shape[1] if segments and queries.ndim == 3 else 1, -1)
+    q3 = queries if segments and queries.ndim == 3 else queries.reshape(b, -1, 1)
     # hit verification happens inside the search kernel (with_miss): a
     # separate `take_along_axis(keys, idx) == q` gather ran at ~2GB/s on TPU
     # and dominated the round-1 forward pass
     idx = searchsorted_segments(
-        keys_sorted, q3, with_miss=True, group_size=group_size)
+        keys_sorted, q3, with_miss=True, group_size=group_size, layout="ms")
     return idx.reshape(q_shape)
 
 
