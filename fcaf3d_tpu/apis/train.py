@@ -32,9 +32,25 @@ def train_model(
     eval_hook: Optional[Callable] = None,
     resume: bool = False,
     use_mesh: bool = True,
+    classes: Optional[tuple] = None,
 ):
-    """Train FCAF3D for `cfg.max_epochs` epochs; returns final TrainState."""
+    """Train FCAF3D for `cfg.max_epochs` epochs; returns final TrainState.
+
+    `classes` (when given) is embedded with the config snapshot in
+    `ckpts/meta.json` so test-time tools can recover them from the work
+    dir alone (the reference's checkpoint `meta` CLASSES+config embed,
+    `tools/train.py:199-209`)."""
+    import dataclasses
+
+    from ..train.checkpoint import save_meta
+
     os.makedirs(work_dir, exist_ok=True)
+    save_meta(work_dir, {
+        "classes": list(classes) if classes is not None else None,
+        "config": dataclasses.asdict(cfg),
+        "config_class": type(cfg).__name__,
+        "seed": seed,
+    })
     log_path = os.path.join(work_dir, "train_log.jsonl")
     steps_per_epoch = loader.steps_per_epoch()
 

@@ -1,5 +1,6 @@
 from .fcaf3d import (  # noqa: F401
     FCAF3DConfig,
+    config_from_dict,
     fcaf3d_s3dis,
     fcaf3d_scannet,
     fcaf3d_scannet_2scales,

@@ -55,6 +55,20 @@ class FCAF3DConfig:
     batch_size: int = 16  # global (reference: 8/GPU x 2 GPUs)
 
 
+def config_from_dict(d: dict) -> FCAF3DConfig:
+    """Rebuild a config from a JSON round-trip (`dataclasses.asdict` ->
+    json -> here); lists become the tuples the dataclass declares. Used to
+    recover the training config from a checkpoint's `meta.json`."""
+    fields = {f.name: f for f in dataclasses.fields(FCAF3DConfig)}
+    kw = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        default = getattr(FCAF3DConfig(), k)
+        kw[k] = tuple(v) if isinstance(default, tuple) and isinstance(v, list) else v
+    return FCAF3DConfig(**kw)
+
+
 def fcaf3d_scannet() -> FCAF3DConfig:
     """ScanNet 18-class, axis-aligned (`fcaf3d_scannet-3d-18class.py`).
 

@@ -23,6 +23,30 @@ def _mngr(work_dir: str, max_keep: int = 1) -> ocp.CheckpointManager:
     )
 
 
+def save_meta(work_dir: str, meta: dict):
+    """Embed run metadata next to the checkpoints (the reference stores
+    CLASSES + the full config text in every .pth's `meta`,
+    `tools/train.py:199-209`; here it is one `ckpts/meta.json`)."""
+    import json
+
+    path = os.path.join(work_dir, "ckpts")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_meta(work_dir: str) -> Optional[dict]:
+    """Read back checkpoint metadata (classes/config), or None if absent
+    (the reference's CLASSES-from-ckpt-meta path, `tools/test.py`)."""
+    import json
+
+    path = os.path.join(work_dir, "ckpts", "meta.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_checkpoint(work_dir: str, epoch: int, state: TrainState, max_keep: int = 1):
     mngr = _mngr(work_dir, max_keep)
     mngr.save(epoch, args=ocp.args.StandardSave(state))

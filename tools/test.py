@@ -46,6 +46,20 @@ def main():
     else:
         cfg, classes, ann, align = (
             fcaf3d_s3dis(), S3DIS_CLASSES, "s3dis_infos_Area_5.pkl", False)
+
+    # prefer the training-time config/CLASSES embedded in the checkpoint
+    # meta (reference `tools/test.py` reads CLASSES from ckpt meta)
+    from fcaf3d_tpu.configs import config_from_dict
+    from fcaf3d_tpu.train.checkpoint import load_meta
+
+    meta = load_meta(args.work_dir)
+    if meta is not None and meta.get("config"):
+        cfg = config_from_dict(meta["config"])
+        if meta.get("classes"):
+            if tuple(meta["classes"]) != tuple(classes):
+                print(f"warning: checkpoint meta classes differ from "
+                      f"--dataset {args.dataset}; using meta classes")
+            classes = tuple(meta["classes"])
     if args.overrides:
         cfg = apply_overrides(cfg, args.overrides)
 

@@ -165,7 +165,7 @@ def main():
         json.dump(dataclasses.asdict(cfg), f, indent=2)
     train_model(
         cfg, loader, args.work_dir, seed=args.seed, eval_hook=eval_hook,
-        resume=args.resume,
+        resume=args.resume, classes=classes,
     )
 
 
