@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .geometry import bev_corners
 
@@ -190,27 +191,61 @@ def axis_aligned_iou(pred, target):
     return inter_vol / jnp.maximum(union, _EPS)
 
 
-def giou_3d(boxes1, boxes2):
+def min_enclosing_rect_area(points):
+    """Smallest-area enclosing rectangle of [..., P, 2] point sets.
+
+    Rotating-calipers equivalent of the reference's `smallest_bounding_box`
+    (`/root/reference/mmdet3d/ops/rotated_iou/min_enclosing_box.py:142`),
+    in a TPU-static form: the optimal rectangle has a side collinear with a
+    convex-hull edge, and every hull edge joins two of the P input points,
+    so the minimum over all P*(P-1)/2 point-pair directions of the rotated
+    axis-aligned bounding area equals the true minimum. Differentiable
+    (min over smooth branches); degenerate pairs fall back to direction
+    (1, 0).
+    """
+    p = points.shape[-2]
+    ii, jj = np.triu_indices(p, k=1)
+    d = points[..., jj, :] - points[..., ii, :]  # [..., PAIRS, 2]
+    norm = jnp.sqrt(jnp.sum(d * d, axis=-1, keepdims=True))
+    ok = norm[..., 0] > 1e-6
+    d = jnp.where(ok[..., None], d / jnp.maximum(norm, 1e-6),
+                  jnp.asarray([1.0, 0.0], points.dtype))
+    # rotate points into each candidate frame: u = p.d, v = p x d
+    u = jnp.einsum("...pk,...ck->...cp", points, d)
+    v = (
+        points[..., None, :, 1] * d[..., :, None, 0]
+        - points[..., None, :, 0] * d[..., :, None, 1]
+    )
+    areas = (jnp.max(u, -1) - jnp.min(u, -1)) * (jnp.max(v, -1) - jnp.min(v, -1))
+    return jnp.min(areas, axis=-1)
+
+
+def giou_3d(boxes1, boxes2, enclosing: str = "smallest"):
     """3D Generalized IoU of gravity-centered 7-DoF box pairs.
 
-    Like `cal_giou_3d` (`oriented_iou_loss.py:112-130`) but with the
-    axis-aligned enclosing box (the reference's `enclosing_type='aligned'`
-    option) instead of the rotating-calipers smallest box — cheaper on TPU
-    and an upper bound of the smallest enclosure. Returns (giou_loss, iou).
+    `cal_giou_3d` equivalent (`oriented_iou_loss.py:112-130`):
+    enclosing="smallest" uses the rotating-calipers smallest enclosing
+    rectangle (the reference default, `min_enclosing_box.py:142`);
+    "aligned" keeps the cheaper axis-aligned enclosing box
+    (`enclosing_type='aligned'`). Returns (giou_loss, iou).
     """
     iou = iou_3d(boxes1, boxes2)
     c1 = bev_corners(boxes1[..., jnp.array([0, 1, 3, 4, 6])])
     c2 = bev_corners(boxes2[..., jnp.array([0, 1, 3, 4, 6])])
     allc = jnp.concatenate([c1, c2], axis=-2)  # [..., 8, 2]
-    w = jnp.max(allc[..., 0], -1) - jnp.min(allc[..., 0], -1)
-    h = jnp.max(allc[..., 1], -1) - jnp.min(allc[..., 1], -1)
+    if enclosing == "smallest":
+        area_c = min_enclosing_rect_area(allc)
+    else:
+        w = jnp.max(allc[..., 0], -1) - jnp.min(allc[..., 0], -1)
+        h = jnp.max(allc[..., 1], -1) - jnp.min(allc[..., 1], -1)
+        area_c = w * h
     zmax = jnp.maximum(
         boxes1[..., 2] + boxes1[..., 5] * 0.5, boxes2[..., 2] + boxes2[..., 5] * 0.5
     )
     zmin = jnp.minimum(
         boxes1[..., 2] - boxes1[..., 5] * 0.5, boxes2[..., 2] - boxes2[..., 5] * 0.5
     )
-    v_c = jnp.maximum(w * h * (zmax - zmin), _EPS)
+    v_c = jnp.maximum(area_c * (zmax - zmin), _EPS)
     inter_2d = quad_intersection_area(c1, c2)
     inter_3d = inter_2d * _z_overlap(boxes1, boxes2)
     v1 = boxes1[..., 3] * boxes1[..., 4] * boxes1[..., 5]

@@ -84,8 +84,9 @@ def chamfer_distance_sum(src, dst, src_valid, dst_valid, mode: str = "l2"):
 
 
 def giou3d_loss_sum(pred_boxes7, target_boxes7, weight):
-    """Summed GIoU3D loss (`GIoU3DLoss` equivalent, axis-aligned enclosure)."""
+    """Summed GIoU3D loss (`GIoU3DLoss` equivalent; rotating-calipers
+    smallest enclosing box, matching the reference's `cal_giou_3d`)."""
     from ..core.rotated_iou import giou_3d
 
-    loss, _ = giou_3d(pred_boxes7, target_boxes7)
+    loss, _ = giou_3d(pred_boxes7, target_boxes7, enclosing="smallest")
     return jnp.sum(loss * weight)
