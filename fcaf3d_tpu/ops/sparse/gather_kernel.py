@@ -32,15 +32,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_ROWS = int(os.environ.get("FCAF3D_GATHER_T", "512"))  # output rows per tile
+T_ROWS = int(os.environ.get("FCAF3D_GATHER_T", "256"))  # output rows per tile
 # per-piece sub-span (VMEM slice + one-hot width); the one-hot select costs
 # T*W_SUB MACs per output tile per offset, and spans scale ~linearly with
-# T, so (T_ROWS, W_SUB) shrink together
-W_SUB = int(os.environ.get("FCAF3D_GATHER_W", "640"))
-W_BIG = int(os.environ.get("FCAF3D_GATHER_WBIG", "4096"))  # per-tile union window
+# T, so (T_ROWS, W_SUB) shrink together. (256, 384, 2048) beat (512, 640,
+# 4096) by ~4ms/fwd once the grouped z-triple path cut per-tile overhead.
+W_SUB = int(os.environ.get("FCAF3D_GATHER_W", "384"))
+W_BIG = int(os.environ.get("FCAF3D_GATHER_WBIG", "2048"))  # per-tile union window
 
 
-def _make_kernel(t_rows: int, w_sub: int, w_big: int):
+def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
     w_step = w_sub - 8  # piece advance (8-row alignment slack)
 
     def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, w_ref, out_ref,
@@ -167,8 +168,90 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int):
                 preferred_element_type=jnp.float32,
             )
 
+        if g_size == 1:
+            out_acc = jax.lax.fori_loop(
+                0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
+            )
+            out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+            return
+
+        # grouped path: cubic-kernel offsets come in (dx, dy) groups of
+        # g_size consecutive z's whose index columns live in ONE shared
+        # span, so the group's selects stack into a single [G*T, W] one-hot
+        # MXU op and its GEMMs merge into one [T, G*C] x [G*C, E] — cutting
+        # the per-offset iteration overhead (the measured bottleneck at
+        # small tiles) g_size-fold at identical MAC volume.
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (g_size * t_rows, w_sub), 1)
+
+        def group_body(g, out_acc):
+            k0 = g * g_size
+            base_flat = (b * n_tiles + t) * k + k0
+            los = [lo_ref[base_flat + z] for z in range(g_size)]
+            his = [hi_ref[base_flat + z] for z in range(g_size)]
+            glo = los[0]
+            ghi = his[0]
+            for z in range(1, g_size):
+                glo = jnp.minimum(glo, los[z])
+                ghi = jnp.maximum(ghi, his[z])
+            fits = (
+                (glo >= win_lo)
+                & (ghi <= win_lo + w_big)
+                & (ghi - glo <= w_step)
+            )
+
+            def fused_group(_):
+                off = jnp.clip(((glo - win_lo) // 8) * 8, 0, w_big - w_sub)
+                sub = big[slot, pl.ds(pl.multiple_of(off, 8), w_sub), :]
+                base = win_lo + off
+                rel = jnp.concatenate(
+                    [idx_ref[0, k0 + z, :].reshape(t_rows, 1) - base
+                     for z in range(g_size)], axis=0)  # [G*T, 1]
+                plo = jnp.concatenate(
+                    [jnp.full((t_rows, 1), los[z] - base, jnp.int32)
+                     for z in range(g_size)], axis=0)
+                phi = jnp.concatenate(
+                    [jnp.full((t_rows, 1), his[z] - base, jnp.int32)
+                     for z in range(g_size)], axis=0)
+                onehot = ((col_g == rel) & (rel >= plo) & (rel < phi)).astype(
+                    sub.dtype)
+                sel = jax.lax.dot_general(  # [G*T, C]
+                    onehot, sub,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                stacked = jnp.concatenate(
+                    [sel[z * t_rows:(z + 1) * t_rows] for z in range(g_size)],
+                    axis=1,
+                )  # [T, G*C]
+                wg = jnp.concatenate(
+                    [w_ref[k0 + z] for z in range(g_size)], axis=0
+                )  # [G*C, E]
+                return jax.lax.dot_general(
+                    stacked.astype(w_ref.dtype), wg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def per_offset(_):
+                acc = jnp.zeros((t_rows, e), jnp.float32)
+                for z in range(g_size):
+                    sel = offset_select(k0 + z)
+                    acc = acc + jax.lax.dot_general(
+                        sel.astype(w_ref.dtype), w_ref[k0 + z],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc
+
+            return out_acc + jax.lax.cond(
+                ghi <= glo,  # whole group has no hits in this tile
+                lambda u: jnp.zeros((t_rows, e), jnp.float32),
+                lambda u: jax.lax.cond(fits, fused_group, per_offset, u),
+                0,
+            )
+
         out_acc = jax.lax.fori_loop(
-            0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
+            0, k // g_size, group_body, jnp.zeros((t_rows, e), jnp.float32)
         )
         out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
 
@@ -176,10 +259,10 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big")
+    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big", "g_size")
 )
 def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
-                  t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG):
+                  t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG, g_size=1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -212,7 +295,7 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(t_rows, w_sub, w_big),
+        _make_kernel(t_rows, w_sub, w_big, g_size),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, m, e), feats_pad.dtype),
         interpret=interpret,
@@ -251,6 +334,8 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     wbytes = k * max(c, 128) * e * weight.dtype.itemsize
     if wbytes > 6 * 2**20 and k > 1:
         half = k // 2
+        if k % 3 == 0:  # keep z-triples intact for the grouped select path
+            half = max(3, (half // 3) * 3)
         return fused_gather_gemm(
             feats, idx[..., :half], weight[:half], interpret=interpret,
             t_rows=t_rows, w_sub=w_sub, w_big=w_big,
@@ -293,5 +378,6 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     out = _fused_pallas(
         feats_pad, idx_t, weight, wlo, lo, hi, interpret=bool(interpret),
         t_rows=t_rows, w_sub=w_sub, w_big=w_big,
+        g_size=3 if k % 3 == 0 else 1,
     )
     return out[:, :m]

@@ -75,7 +75,71 @@ def run(n_devices: int) -> None:
     state, metrics = step(state, batch)
     loss = float(metrics["loss"])
     assert np.isfinite(loss), metrics
-    print(f"dryrun_multichip({n_devices}): ok, loss={loss:.4f}", flush=True)
+    print(f"dryrun_multichip({n_devices}): fcaf3d DP step ok, loss={loss:.4f}",
+          flush=True)
+
+    # --- sharded evaluation path (multi_gpu_test analog): the jitted
+    # inference forward with batch sharded over the data mesh
+    from ..models.detector import infer_config
+    from ..models.fcaf3d_head import fcaf3d_get_bboxes
+    from ..parallel.mesh import replicate, shard_batch
+
+    tcfg = infer_config(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def infer_fn(variables, points, colors, valid):
+        outs = model.apply(variables, points, colors, valid, train=False)
+        return fcaf3d_get_bboxes(outs, tcfg)
+
+    infer = jax.jit(
+        infer_fn,
+        in_shardings=(replicate(mesh), shard_batch(mesh), shard_batch(mesh),
+                      shard_batch(mesh)),
+        out_shardings=replicate(mesh),
+    )
+    dets = infer(variables, batch["points"], batch["colors"], batch["valid"])
+    assert np.all(np.isfinite(np.asarray(dets.scores))), "sharded eval NaN"
+    print(f"dryrun_multichip({n_devices}): sharded eval ok, "
+          f"{int(np.asarray(dets.valid).sum())} detections", flush=True)
+
+    # --- VoteNet-v2 DP step (PointNet++ backbone + Mobius vote head)
+    from ..configs.votenet import votenet_tiny
+    from ..models.votenet import VoteNet
+    from ..train.trainer import TrainState, make_votenet_train_step
+
+    vcfg = votenet_tiny()
+    vmodel = VoteNet(
+        n_classes=vcfg.n_classes, num_proposal=vcfg.num_proposal,
+        backbone_num_points=vcfg.backbone_num_points,
+    )
+    vpts = jnp.asarray(
+        rng.uniform(0, 2.0, (n_devices, vcfg.num_points, 4)).astype(np.float32))
+    vvars = jax.jit(lambda k, p: vmodel.init(k, p, train=False))(
+        jax.random.PRNGKey(0), vpts)
+    vtx = make_optimizer(lr=1e-3)
+    vstate = TrainState(
+        step=jnp.zeros((), jnp.int32), params=vvars["params"],
+        batch_stats=vvars.get("batch_stats", {}),
+        opt_state=vtx.init(vvars["params"]),
+    )
+    vstep = make_votenet_train_step(vmodel, vcfg, vtx, mesh=mesh)
+    g = vcfg.max_gt_boxes
+    vboxes = np.zeros((n_devices, g, 7), np.float32)
+    vboxes[..., :3] = rng.uniform(0.5, 1.5, (n_devices, g, 3))
+    vboxes[..., 2] = 0.0
+    vboxes[..., 3:6] = rng.uniform(0.3, 0.8, (n_devices, g, 3))
+    vbatch = {
+        "points": vpts,
+        "gt_boxes": jnp.asarray(vboxes),
+        "gt_labels": jnp.asarray(
+            rng.randint(0, vcfg.n_classes, (n_devices, g)).astype(np.int32)),
+        "gt_valid": jnp.ones((n_devices, g), bool),
+    }
+    vstate, vmetrics = vstep(vstate, vbatch)
+    vloss = float(vmetrics["loss"])
+    assert np.isfinite(vloss), vmetrics
+    print(f"dryrun_multichip({n_devices}): votenet DP step ok, "
+          f"loss={vloss:.4f}", flush=True)
 
 
 def spawn(n_devices: int) -> None:
