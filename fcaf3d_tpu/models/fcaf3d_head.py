@@ -442,7 +442,11 @@ class FcafTestConfig(NamedTuple):
     nms_pre: int = 1000
     iou_thr: float = 0.5
     score_thr: float = 0.01
-    nms_cap: int = 1024  # per-class candidate cap fed to the NMS matrix
+    # per-class candidate cap fed to the static NMS matrix; default matches
+    # FCAF3DConfig.nms_cap (the value `infer_config` forwards). Measured on
+    # a 60-object crowded-scene overfit (tools/nms_cap_experiment.py):
+    # mAP identical from cap 64 up through the uncapped-equivalent 4000.
+    nms_cap: int = 256
     with_yaw: bool = False
     yaw_parametrization: str = "fcaf3d"
 

@@ -80,9 +80,9 @@ def test_loss_and_grads_decrease(setup2d):
             {"params": params, "batch_stats": stats}, imgs, train=True,
             mutable=["batch_stats"])
         losses = detector2d_loss(outs, boxes, labels, valid)
-        return sum(losses.values()), (losses, mut["batch_stats"])
+        return sum(losses.values()), (losses, mut.get("batch_stats", {}))
 
-    params, stats = variables["params"], variables["batch_stats"]
+    params, stats = variables["params"], variables.get("batch_stats", {})
     opt = tx.init(params)
 
     @jax.jit

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (fwd + bwd + optimizer update).
+
+The reference's training benchmark analog (`docs/benchmarks.md`); FCAF3D
+trains at global batch 16 (`configs/fcaf3d/fcaf3d.py:30-33`, 8/GPU x 2).
+Prints one JSON line with scenes/sec at the configured batch.
+
+Example:
+    python tools/bench_train.py [--batch 16] [--steps 8] [--config fcaf3d_scannet]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None,
+                    help="global batch (default: config batch_size)")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--config", default="fcaf3d_scannet")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from bench import synth_scene
+    from fcaf3d_tpu import configs
+    from fcaf3d_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    cfg = getattr(configs, args.config)()
+    b = args.batch or cfg.batch_size
+    p, g = cfg.num_points, cfg.max_gt_boxes
+
+    rng = np.random.RandomState(0)
+    pts = np.stack([synth_scene(rng, p)[0] for _ in range(b)])
+    colors = rng.uniform(0, 255, (b, p, 3)).astype(np.float32)
+    boxes = np.zeros((b, g, 7), np.float32)
+    boxes[..., :2] = rng.uniform(0.5, 5.0, (b, g, 2))
+    boxes[..., 2] = 0.0
+    boxes[..., 3:6] = rng.uniform(0.3, 1.5, (b, g, 3))
+    batch = {
+        "points": jnp.asarray(pts),
+        "colors": jnp.asarray(colors),
+        "valid": jnp.ones((b, p), bool),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_labels": jnp.asarray(rng.randint(0, cfg.n_classes, (b, g)).astype(np.int32)),
+        "gt_valid": jnp.ones((b, g), bool),
+    }
+
+    tx = make_optimizer(lr=cfg.lr, weight_decay=cfg.weight_decay,
+                        grad_clip=cfg.grad_clip, steps_per_epoch=1000,
+                        lr_steps=cfg.lr_steps)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
+    step = make_train_step(model, cfg, tx)
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    print(json.dumps({
+        "metric": "fcaf3d_train_step",
+        "config": args.config,
+        "batch": b,
+        "step_ms": round(dt * 1000, 1),
+        "value": round(b / dt, 3),
+        "unit": "scenes/sec",
+        "loss": round(float(metrics["loss"]), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,7 +94,7 @@ def main():
         optax.clip_by_global_norm(10.0),
         optax.adamw(args.lr, weight_decay=1e-4),
     )
-    params, stats = variables["params"], variables["batch_stats"]
+    params, stats = variables["params"], variables.get("batch_stats", {})
     opt = tx.init(params)
 
     @jax.jit
@@ -104,7 +104,7 @@ def main():
                 {"params": p, "batch_stats": stats}, imgs, train=True,
                 mutable=["batch_stats"])
             losses = detector2d_loss(outs, boxes, labels, valid)
-            return sum(losses.values()), (losses, mut["batch_stats"])
+            return sum(losses.values()), (losses, mut.get("batch_stats", {}))
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
