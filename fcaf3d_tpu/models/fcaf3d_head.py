@@ -317,16 +317,23 @@ def bbox_pred_to_bbox(points, bbox_pred, yaw_parametrization: str = "fcaf3d"):
         return base
     if yaw_parametrization == "naive":
         return jnp.concatenate([base, bbox_pred[..., 6:7]], axis=-1)
+    from .votenet import _atan2_safe_x
+
     if yaw_parametrization == "sin-cos":
         norm = jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2 + 1e-12)
-        yaw = jnp.arctan2(bbox_pred[..., 6] / norm, bbox_pred[..., 7] / norm)
+        yaw = jnp.arctan2(
+            bbox_pred[..., 6] / norm,
+            _atan2_safe_x(bbox_pred[..., 6], bbox_pred[..., 7]) / norm)
         return jnp.concatenate([base, yaw[..., None]], axis=-1)
     # 'fcaf3d' Mobius parametrization: reg[6:8] = (sin(2a)ln q, cos(2a)ln q)
     scale = (
         bbox_pred[..., 0] + bbox_pred[..., 1] + bbox_pred[..., 2] + bbox_pred[..., 3]
     )
-    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2))
-    alpha = 0.5 * jnp.arctan2(bbox_pred[..., 6], bbox_pred[..., 7])
+    # epsilon/guard: sqrt and atan2 GRADIENTS are NaN at exactly (0, 0)
+    # (zero regression outputs, e.g. masked rows or zero-feature towers)
+    q = jnp.exp(jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2 + 1e-12))
+    alpha = 0.5 * jnp.arctan2(
+        bbox_pred[..., 6], _atan2_safe_x(bbox_pred[..., 6], bbox_pred[..., 7]))
     return jnp.stack(
         [
             x,
@@ -445,7 +452,8 @@ class FcafTestConfig(NamedTuple):
     # per-class candidate cap fed to the static NMS matrix; default matches
     # FCAF3DConfig.nms_cap (the value `infer_config` forwards). Measured on
     # a 60-object crowded-scene overfit (tools/nms_cap_experiment.py):
-    # mAP identical from cap 64 up through the uncapped-equivalent 4000.
+    # cap 256 == 1024 == uncapped-4000 (mAP 1.0/1.0); cap 64 costs ~5
+    # points, cap 16 halves mAP — 256 has full headroom.
     nms_cap: int = 256
     with_yaw: bool = False
     yaw_parametrization: str = "fcaf3d"

@@ -85,8 +85,14 @@ def vote_fusion(
     seed_exp = jnp.broadcast_to(seeds_depth[:, None, :], (s, d, 3))
     ray = seed_exp + imvote
     ray = ray / jnp.sqrt(jnp.sum(ray ** 2, -1, keepdims=True) + EPS)
+    # guard the forward-axis division: rays from invalid/degenerate boxes
+    # can have ray_y ~ -EPS, and an inf here turns `* inside` (0 x inf)
+    # into NaN — in the BACKWARD pass too, so masking alone cannot fix it
+    den = ray[..., 1:2]
+    den = jnp.where(jnp.abs(den) < 1e-4,
+                    jnp.where(den < 0, -1e-4, 1e-4), den)
     xz = (
-        ray[..., jnp.array([0, 2])] / (ray[..., 1:2] + EPS) * seed_exp[..., 1:2]
+        ray[..., jnp.array([0, 2])] / den * seed_exp[..., 1:2]
         - seed_exp[..., jnp.array([0, 2])]
     )
     geo = jnp.concatenate([xz, ray], axis=-1)  # [S, D, 5]
@@ -117,13 +123,19 @@ def vote_fusion(
 
 def sample_valid_seeds(mask, k: int):
     """Indices of k valid imvotes, cycling when fewer than k are valid
-    (`imvotenet.py:12-48` semantics, static shapes). mask: [M] bool."""
+    (`imvotenet.py:12-48` semantics, static shapes). mask: [M] bool.
+
+    With NO valid imvote (empty 2D detector output) falls back to a uniform
+    cycle over all seeds instead of repeating one row k times — 128 copies
+    of a single point make the downstream FPS/grouping geometry degenerate
+    (and its backward inf)."""
     m = mask.shape[0]
     order = jnp.argsort(~mask, stable=True)  # valid first, original order
     cnt = jnp.maximum(jnp.sum(mask), 1)
     ar = jnp.arange(k)
     first = order[jnp.minimum(ar, m - 1)]
-    return jnp.where(ar < cnt, first, order[ar % cnt]).astype(jnp.int32)
+    idx = jnp.where(ar < cnt, first, order[ar % cnt]).astype(jnp.int32)
+    return jnp.where(jnp.any(mask), idx, (ar % m).astype(jnp.int32))
 
 
 class ImVoteNet(nn.Module):

@@ -45,9 +45,21 @@ class VoteModule(nn.Module):
         vote_xyz = seed_xyz + offset
         vote_feats = seed_feats + res_feats
         if self.norm_feats:
-            norm = jnp.linalg.norm(vote_feats, axis=-1, keepdims=True)
+            # sqrt(sum^2 + eps), not linalg.norm: norm's backward is NaN at
+            # exactly-zero features (maximum() can't fix the inner 0/0)
+            norm = jnp.sqrt(
+                jnp.sum(vote_feats ** 2, axis=-1, keepdims=True) + 1e-12)
             vote_feats = vote_feats / jnp.maximum(norm, 1e-8)
         return vote_xyz, vote_feats, offset
+
+
+def _atan2_safe_x(y, x):
+    """x operand for an atan2 whose GRADIENT stays finite at (0, 0):
+    d atan2 = (-y, x)/(x^2+y^2) is NaN there, and the zero cotangent of an
+    unused yaw column still propagates it (0 * nan). atan2(0, 1) == 0 ==
+    atan2(0, 0), so the forward value is unchanged."""
+    both_zero = (y == 0) & (x == 0)
+    return jnp.where(both_zero, 1.0, x)
 
 
 def decode_vote_bbox(aggregated_points, bbox_pred, yaw_parametrization="fcaf3d"):
@@ -59,12 +71,20 @@ def decode_vote_bbox(aggregated_points, bbox_pred, yaw_parametrization="fcaf3d")
         yaw = bbox_pred[..., 6]
     elif yaw_parametrization == "sin-cos":
         norm = jnp.sqrt(bbox_pred[..., 6] ** 2 + bbox_pred[..., 7] ** 2 + 1e-12)
-        yaw = jnp.arctan2(bbox_pred[..., 6] / norm, bbox_pred[..., 7] / norm)
+        yaw = jnp.arctan2(
+            bbox_pred[..., 6] / norm, _atan2_safe_x(
+                bbox_pred[..., 6], bbox_pred[..., 7]) / norm)
         dims = jnp.exp(bbox_pred[..., 3:6])
     else:  # fcaf3d / Mobius: (dx,dy,dz, ln scale, ln h, sin2a ln q, cos2a ln q)
         scale = jnp.exp(bbox_pred[..., 3])
-        q = jnp.exp(jnp.sqrt(bbox_pred[..., 5] ** 2 + bbox_pred[..., 6] ** 2))
-        yaw = 0.5 * jnp.arctan2(bbox_pred[..., 5], bbox_pred[..., 6])
+        # epsilon: d/dx sqrt(x^2+y^2) is NaN at exactly (0, 0) — reachable
+        # when an upstream tower's features are all zero (e.g. ImVoteNet's
+        # img tower with an empty 2D detector)
+        q = jnp.exp(jnp.sqrt(
+            bbox_pred[..., 5] ** 2 + bbox_pred[..., 6] ** 2 + 1e-12))
+        yaw = 0.5 * jnp.arctan2(
+            bbox_pred[..., 5],
+            _atan2_safe_x(bbox_pred[..., 5], bbox_pred[..., 6]))
         w = scale / (1 + q)
         dims = jnp.stack([w, w * q, jnp.exp(bbox_pred[..., 4])], axis=-1)
     return jnp.concatenate([center, dims, yaw[..., None]], axis=-1)

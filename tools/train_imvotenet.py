@@ -82,9 +82,10 @@ def main():
         img = np.asarray(im.resize((IMG_HW[1], IMG_HW[0])), np.float32)
         sx, sy = IMG_HW[1] / w0, IMG_HW[0] / h0
         annos = info["annos"]
-        # depth->image projection: K scaled by the resize factors
-        k = np.asarray(info["calib"]["K"], np.float32)
-        k = np.diag([sx, sy, 1.0]).astype(np.float32) @ k
+        # depth->image projection (SUN RGB-D transposed-K + Rt + axis flip)
+        from fcaf3d_tpu.data.datasets import sunrgbd_depth2img
+
+        k = sunrgbd_depth2img(info["calib"], sx, sy)
         boxes3d = annos["gt_boxes_upright_depth"].astype(np.float32)
         if boxes3d.shape[1] == 6:
             boxes3d = np.concatenate(
