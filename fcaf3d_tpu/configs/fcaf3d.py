@@ -117,13 +117,41 @@ def fcaf3d_scannet_2scales() -> FCAF3DConfig:
 
 
 def fcaf3d_sunrgbd() -> FCAF3DConfig:
-    """SUN RGB-D 10-class, rotated boxes (`fcaf3d_sunrgbd-3d-10class.py`)."""
-    return FCAF3DConfig(n_classes=10, n_reg_outs=8, with_yaw=True)
+    """SUN RGB-D 10-class, rotated boxes (`fcaf3d_sunrgbd-3d-10class.py`).
+
+    Budgets calibrated on a single-Kinect-view acquisition model
+    (`tools/calibrate_budgets.py --dataset sunrgbd`): unlike ScanNet's
+    50k-point raw cap, SUN RGB-D back-projects every depth pixel
+    (`sunrgbd_data_utils.py:140-148`), so the 100k sample stays ~98%
+    unique at 1cm and the old generic defaults overflowed s2 (88k vs
+    65536) and s4 (58k vs 32768). p95*1.1 rounded to 512s; `overflow_max`
+    telemetry re-verifies on real data."""
+    return FCAF3DConfig(
+        n_classes=10,
+        n_reg_outs=8,
+        with_yaw=True,
+        input_budget=100352,
+        backbone_budgets=(96768, 62976, 24064, 6656, 2048, 1024),
+        neck_budgets=(28672, 9728, 4096, 1024),
+    )
 
 
 def fcaf3d_s3dis() -> FCAF3DConfig:
-    """S3DIS 5-class, axis-aligned (`fcaf3d_s3dis-3d-5class.py`)."""
-    return FCAF3DConfig(n_classes=5, n_reg_outs=6, with_yaw=False)
+    """S3DIS 5-class, axis-aligned (`fcaf3d_s3dis-3d-5class.py`).
+
+    Budgets calibrated on a dense-Matterport acquisition model
+    (~1M raw points, 100k sample; `tools/calibrate_budgets.py --dataset
+    s3dis`): denser coverage than ScanNet's capped scans keeps deeper
+    levels fuller (s4 p95 77k, s8 p95 42k) — the old generic defaults
+    overflowed s2/s4/s8 by 1.4-2.4x. p95*1.1 rounded to 512s."""
+    return FCAF3DConfig(
+        n_classes=5,
+        n_reg_outs=6,
+        with_yaw=False,
+        input_budget=100352,
+        backbone_budgets=(98304, 85504, 46592, 13824, 3584, 1024),
+        neck_budgets=(56320, 16896, 4608, 1024),
+    )
 
 
 def fcaf3d_nano(n_classes: int = 3) -> FCAF3DConfig:

@@ -6,6 +6,7 @@ from .tensor import (  # noqa: F401
     encode_coords,
     lookup,
     voxelize,
+    voxelize_reduce,
 )
 from .conv import (  # noqa: F401
     build_kernel_map,

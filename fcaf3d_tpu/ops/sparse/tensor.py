@@ -252,6 +252,72 @@ def voxelize(
     )
 
 
+def voxelize_reduce(
+    points: jnp.ndarray,
+    features: jnp.ndarray,
+    valid: jnp.ndarray,
+    voxel_size: float,
+    budget: int,
+    reduce: str = "mean",
+    margin: int = 64,
+) -> SparseTensor:
+    """Voxelize with a mean/max reduction over each voxel's points.
+
+    TPU-native `DynamicScatter` (reference `mmdet3d/ops/voxel/
+    scatter_points.py:9-105`, `dynamic_scatter` CUDA op): every valid point
+    contributes to its voxel's feature instead of `voxelize`'s
+    first-point-wins ME rule. Implemented as a segment reduction over the
+    key-sorted rows (each voxel's points are contiguous after the sort).
+
+    Args:
+        points: [B, P, 3] float metric coordinates.
+        features: [B, P, C].
+        valid: [B, P] bool.
+        reduce: "mean" or "max".
+    """
+    if reduce not in ("mean", "max"):
+        raise ValueError(f"reduce must be mean|max, got {reduce!r}")
+    q = jnp.floor(points / voxel_size).astype(jnp.int32)
+    big = jnp.int32(1 << 20)
+    qmin = jnp.min(jnp.where(valid[..., None], q, big), axis=1)
+    shift = margin - qmin
+    coords = jnp.where(valid[..., None], q + shift[:, None, :],
+                       jnp.asarray(EXTENT, jnp.int32))
+    keys = jnp.where(valid, encode_coords(coords), SENTINEL)
+
+    order = jnp.argsort(keys, axis=-1, stable=True)
+    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
+    keys = jnp.take_along_axis(keys, order, axis=1)
+    feats = jnp.take_along_axis(features, order[..., None], axis=1)
+
+    out_coords, out_keys, _, dropped = compact_unique(coords, keys, budget)
+    # segment id of EVERY row = its voxel's output slot (cumsum of firsts);
+    # rows of overflow/padding voxels land in dump slot `budget`
+    b, n = keys.shape
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), SENTINEL, keys.dtype), keys[:, :-1]], axis=1)
+    first = (keys != prev) & (keys != SENTINEL)
+    seg = jnp.cumsum(first, axis=1) - 1
+    seg = jnp.where((keys != SENTINEL) & (seg >= 0) & (seg < budget),
+                    seg, budget)
+    if reduce == "mean":
+        acc = jnp.zeros((b, budget + 1, feats.shape[-1]), feats.dtype)
+        acc = batched_scatter_add(acc, seg, feats)
+        cnt = jnp.zeros((b, budget + 1), jnp.int32)
+        cnt = batched_scatter_add(cnt, seg, jnp.ones((b, n), jnp.int32))
+        out_feats = acc[:, :budget] / jnp.maximum(cnt[:, :budget, None], 1)
+    else:
+        neg = jnp.finfo(feats.dtype).min
+        acc = jnp.full((b, budget + 1, feats.shape[-1]), neg, feats.dtype)
+        acc = jax.vmap(lambda t, p, v: t.at[p].max(v))(acc, seg, feats)
+        out_feats = jnp.where(out_keys[..., None] != SENTINEL,
+                              acc[:, :budget], 0)
+    return SparseTensor(
+        coords=out_coords, feats=out_feats, keys=out_keys, shift=shift,
+        stride=1, dropped=dropped,
+    )
+
+
 def downsample_coords(st: SparseTensor, factor: int, budget: int):
     """Output coordinate map of a strided (conv/pool) op.
 

@@ -16,6 +16,7 @@ from fcaf3d_tpu.ops.sparse import (
     sparse_max_pool,
     sparse_prune,
     voxelize,
+    voxelize_reduce,
 )
 
 
@@ -101,6 +102,43 @@ def test_voxelize_dedup_first_and_positions():
     expect = {(-0.02, 0.0, 0.0), (0.0, 0.0, 0.0), (0.01, 0.0, 0.0)}
     got_pos = {tuple(round(float(v), 6) for v in p) for p in pos}
     assert got_pos == expect
+
+
+@pytest.mark.parametrize("reduce", ["mean", "max"])
+def test_voxelize_reduce_matches_numpy_oracle(reduce):
+    """dynamic_scatter semantics (reference `ops/voxel/scatter_points.py`):
+    every valid point contributes; voxel feature = mean/max over its points."""
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(-0.5, 0.5, (2, 64, 3)).astype(np.float32)
+    feats = rng.randn(2, 64, 4).astype(np.float32)
+    valid = rng.rand(2, 64) < 0.8
+    st = voxelize_reduce(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(valid), 0.05, 256,
+        reduce=reduce)
+    for b in range(2):
+        vox = np.floor(pts[b] / 0.05).astype(np.int64)
+        groups = {}
+        for i in range(64):
+            if valid[b, i]:
+                groups.setdefault(tuple(vox[i]), []).append(feats[b, i])
+        assert int(st.num_valid()[b]) == len(groups)
+        pos = np.asarray(st.positions(0.05))[b]
+        got = np.asarray(st.feats)[b]
+        ok = np.asarray(st.valid)[b]
+        for r in np.where(ok)[0]:
+            key = tuple(np.round(pos[r] / 0.05).astype(np.int64))
+            members = np.stack(groups[key])
+            want = members.mean(0) if reduce == "mean" else members.max(0)
+            np.testing.assert_allclose(got[r], want, rtol=1e-5, atol=1e-5)
+
+
+def test_voxelize_reduce_overflow_telemetry():
+    pts = np.linspace(0, 1, 32).reshape(1, 32, 1) * np.ones((1, 32, 3), np.float32)
+    st = voxelize_reduce(
+        jnp.asarray(pts, jnp.float32), jnp.ones((1, 32, 2), jnp.float32),
+        jnp.ones((1, 32), bool), 0.01, budget=8, reduce="mean")
+    assert int(st.dropped[0]) > 0
+    assert int(st.num_valid()[0]) == 8
 
 
 def test_lookup_hits_and_misses():
