@@ -31,6 +31,7 @@ def train_model(
     log_interval: int = 50,
     eval_hook: Optional[Callable] = None,
     resume: bool = False,
+    load_from: Optional[str] = None,
     use_mesh: bool = True,
     classes: Optional[tuple] = None,
 ):
@@ -66,6 +67,15 @@ def train_model(
     step_fn = make_train_step(model, cfg, tx, mesh=mesh)
 
     start_epoch = 0
+    if load_from and not resume:
+        # weights-only init from another run's work dir (`load_from`
+        # semantics, reference `configs/fcaf3d/fcaf3d.py:38` +
+        # `README.md:84` ScanNet-pretrained S3DIS recipe); shape-mismatched
+        # heads keep their fresh init
+        from ..train.checkpoint import load_params
+
+        state = load_params(load_from, state)
+        print(f"loaded weights from {load_from}")
     if resume:
         ep = latest_epoch(work_dir)
         if ep is not None:

@@ -67,7 +67,19 @@ class Loader:
         shuffle: bool = True,
         drop_last: bool = True,
         num_workers: int = 8,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """`shard_index`/`num_shards`: multi-host data sharding (the analog
+        of mmdet's per-rank `DistributedGroupSampler`, reference
+        `tools/train.py:171-176`). `batch_size` stays the GLOBAL batch;
+        host h yields rows [h*B/H, (h+1)*B/H) of every global batch, so the
+        union over hosts is exactly the single-host stream (same
+        per-(seed, epoch, index) RNG per sample) and each host's slab feeds
+        `jax.make_array_from_process_local_data` on a data mesh."""
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by {num_shards} shards")
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_points = num_points
@@ -77,6 +89,8 @@ class Loader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.shard_index = shard_index
+        self.num_shards = num_shards
 
     def steps_per_epoch(self) -> int:
         n = len(self.dataset)
@@ -93,10 +107,11 @@ class Loader:
             rng = np.random.default_rng([self.seed, epoch_idx, int(i)])
             return self.dataset(int(order[i]), rng)
 
+        local = self.batch_size // self.num_shards
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             for s in range(steps):
-                lo = s * self.batch_size
-                hi = min(lo + self.batch_size, n)
+                lo = s * self.batch_size + self.shard_index * local
+                hi = min(lo + local, n)
                 samples = list(pool.map(fetch, range(lo, hi)))
                 yield collate(
                     samples, self.num_points, self.max_gt, self.n_feat_dims

@@ -78,6 +78,42 @@ def restore_checkpoint(
 
 def load_params(work_dir: str, state: TrainState) -> TrainState:
     """Weights-only load (`load_from` semantics): params + batch_stats, fresh
-    optimizer."""
-    restored, _ = restore_checkpoint(work_dir, state)
-    return state.replace(params=restored.params, batch_stats=restored.batch_stats)
+    optimizer. Shape-tolerant like mmcv's `load_checkpoint(strict=False)`
+    (`tools/train.py:116`): leaves whose path is absent or whose shape
+    differs (e.g. the cls conv when transferring a ScanNet-trained backbone
+    to S3DIS's 5 classes, reference `README.md:84`) keep their fresh init
+    and are reported."""
+    import jax
+
+    mngr = _mngr(work_dir)
+    step = mngr.latest_step()
+    raw = mngr.restore(step)  # saved structure, no template
+    mngr.close()
+
+    def merge(tree, saved, prefix, skipped):
+        if not isinstance(tree, dict):
+            ok = (
+                saved is not None
+                and getattr(saved, "shape", None) == getattr(tree, "shape", None)
+                and getattr(saved, "dtype", None) == getattr(tree, "dtype", None)
+            )
+            if not ok:
+                skipped.append(prefix)
+                return tree
+            return jax.numpy.asarray(saved)
+        out = {}
+        for k, v in tree.items():
+            sub = saved.get(k) if isinstance(saved, dict) else None
+            out[k] = merge(v, sub, f"{prefix}/{k}", skipped)
+        return out
+
+    skipped: list = []
+    new_params = merge(state.params, raw.get("params", {}), "params", skipped)
+    new_stats = merge(
+        state.batch_stats, raw.get("batch_stats", {}), "batch_stats", skipped
+    )
+    if skipped:
+        print(f"load_params: kept fresh init for {len(skipped)} leaves "
+              f"(shape/path mismatch): {', '.join(skipped[:8])}"
+              + (" ..." if len(skipped) > 8 else ""))
+    return state.replace(params=new_params, batch_stats=new_stats)

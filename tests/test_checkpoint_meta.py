@@ -84,3 +84,37 @@ def test_browse_dataset_cli(tmp_path):
     gt = [f for f in files if f.endswith("_gt.obj")][0]
     lines = open(tmp_path / gt).read().splitlines()
     assert sum(l.startswith("v ") for l in lines) == 27 * 8  # 27 boxes
+
+
+def test_load_params_shape_tolerant_transfer(tmp_path):
+    """`load_from` semantics: transfer a 4-class checkpoint into a 3-class
+    model (the ScanNet-pretrained S3DIS recipe, reference `README.md:84` +
+    mmcv `load_checkpoint(strict=False)`): matching leaves are copied,
+    the shape-mismatched cls conv keeps its fresh init."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.train.checkpoint import load_params, save_checkpoint
+    from fcaf3d_tpu.train.optim import make_optimizer
+    from fcaf3d_tpu.train.trainer import create_train_state
+
+    tx = make_optimizer(lr=1e-3, weight_decay=1e-4, grad_clip=10.0,
+                        steps_per_epoch=2, lr_steps=(8, 11))
+    cfg4 = fcaf3d_tiny(n_classes=4)
+    _, state4 = create_train_state(cfg4, jax.random.PRNGKey(0), tx)
+    # make source params recognizable
+    state4 = state4.replace(
+        params=jax.tree.map(lambda x: jnp.full_like(x, 0.25), state4.params))
+    save_checkpoint(str(tmp_path), 1, state4)
+
+    cfg3 = fcaf3d_tiny(n_classes=3)
+    _, state3 = create_train_state(cfg3, jax.random.PRNGKey(1), tx)
+    fresh_cls = state3.params["neck_with_head"]["cls_conv"]["kernel"]
+    merged = load_params(str(tmp_path), state3)
+    # backbone leaf transferred
+    bb = merged.params["backbone"]["conv1"]["kernel"]
+    assert float(jnp.max(jnp.abs(bb - 0.25))) == 0.0
+    # cls conv shape differs (4 vs 3 classes) -> fresh init kept
+    got_cls = merged.params["neck_with_head"]["cls_conv"]["kernel"]
+    assert got_cls.shape == fresh_cls.shape
+    np.testing.assert_array_equal(np.asarray(got_cls), np.asarray(fresh_cls))

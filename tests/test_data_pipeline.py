@@ -133,3 +133,29 @@ def test_loader_batches(mini_dataset):
     # determinism across constructions
     batches2 = list(Loader(ds, 4, 128, 8, num_workers=2).epoch(0))
     np.testing.assert_array_equal(batches[1]["points"], batches2[1]["points"])
+
+
+def test_loader_multihost_sharding(mini_dataset):
+    """Per-host shards tile the global batch exactly (same per-sample RNG),
+    the multi-host analog of mmdet's per-rank sampler."""
+    root, ann = mini_dataset
+    pipe = Compose([PointSample(128)])
+    ds = RepeatDataset(
+        IndoorDetDataset(root, ann, classes=("a",) * 4, pipeline=pipe), times=4
+    )
+    full = list(Loader(ds, 4, 128, 8, num_workers=2).epoch(1))
+    sh0 = list(Loader(ds, 4, 128, 8, num_workers=2,
+                      shard_index=0, num_shards=2).epoch(1))
+    sh1 = list(Loader(ds, 4, 128, 8, num_workers=2,
+                      shard_index=1, num_shards=2).epoch(1))
+    assert len(sh0) == len(full) and len(sh1) == len(full)
+    for f, a, b in zip(full, sh0, sh1):
+        assert a["points"].shape[0] == 2 and b["points"].shape[0] == 2
+        np.testing.assert_array_equal(
+            f["points"], np.concatenate([a["points"], b["points"]], axis=0))
+        np.testing.assert_array_equal(
+            f["gt_boxes"], np.concatenate([a["gt_boxes"], b["gt_boxes"]], axis=0))
+    import pytest
+
+    with pytest.raises(ValueError):
+        Loader(ds, 4, 128, 8, num_shards=3)

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--batch", type=int, default=None, help="global batch size")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--load-from", default=None, metavar="WORK_DIR",
+                    help="weights-only init from another run's work dir "
+                    "(load_from semantics; shape-mismatched heads keep "
+                    "fresh init -- e.g. ScanNet-pretrained S3DIS)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--no-eval", action="store_true")
     ap.add_argument("--max-eval-scenes", type=int, default=None)
@@ -145,8 +149,13 @@ def main():
             test_mode=True,
         )
 
+    # multi-host: each process loads its slice of the global batch (the
+    # per-rank sampler analog); on a single controller this is a no-op
+    import jax
+
     loader = Loader(
-        ds, cfg.batch_size, cfg.num_points, cfg.max_gt_boxes, seed=args.seed
+        ds, cfg.batch_size, cfg.num_points, cfg.max_gt_boxes, seed=args.seed,
+        shard_index=jax.process_index(), num_shards=jax.process_count(),
     )
 
     eval_hook = None
@@ -165,7 +174,7 @@ def main():
         json.dump(dataclasses.asdict(cfg), f, indent=2)
     train_model(
         cfg, loader, args.work_dir, seed=args.seed, eval_hook=eval_hook,
-        resume=args.resume, classes=classes,
+        resume=args.resume, load_from=args.load_from, classes=classes,
     )
 
 
