@@ -59,6 +59,12 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
 
         col_sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, w_sub), 1)
 
+        def live(tt):
+            # wlo == -1 marks a tile with zero kernel-map hits (valid rows
+            # are a prefix, so these are the padding tail past the scene's
+            # occupancy); skip its window DMA and all compute
+            return wlo_ref[b * n_tiles + tt] >= 0
+
         def big_start(tt):
             s = jnp.maximum(0, jnp.minimum(wlo_ref[b * n_tiles + tt],
                                            n_rows - w_big))
@@ -70,17 +76,20 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
                 big.at[slot], sem.at[slot],
             )
 
-        @pl.when(t == 0)
+        @pl.when((t == 0) & live(0))
         def _():
             big_dma(0, 0).start()
 
         slot = t % 2
 
-        @pl.when(t + 1 < n_tiles)
+        @pl.when((t + 1 < n_tiles) & live(t + 1))
         def _():
             big_dma((t + 1) % 2, t + 1).start()
 
-        big_dma(slot, t).wait()
+        @pl.when(jnp.logical_not(live(t)))
+        def _():
+            out_ref[0, :, :] = jnp.zeros((t_rows, e), out_ref.dtype)
+
         win_lo = big_start(t)
 
         def select(buf, rel, plo, phi):
@@ -169,10 +178,13 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
             )
 
         if g_size == 1:
-            out_acc = jax.lax.fori_loop(
-                0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
-            )
-            out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+            @pl.when(live(t))
+            def _():
+                big_dma(slot, t).wait()
+                out_acc = jax.lax.fori_loop(
+                    0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
+                )
+                out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
             return
 
         # grouped path: cubic-kernel offsets come in (dx, dy) groups of
@@ -250,10 +262,13 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
                 0,
             )
 
-        out_acc = jax.lax.fori_loop(
-            0, k // g_size, group_body, jnp.zeros((t_rows, e), jnp.float32)
-        )
-        out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+        @pl.when(live(t))
+        def _():
+            big_dma(slot, t).wait()
+            out_acc = jax.lax.fori_loop(
+                0, k // g_size, group_body, jnp.zeros((t_rows, e), jnp.float32)
+            )
+            out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
 
     return _kernel
 
@@ -371,6 +386,11 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     lo = jnp.where(lo == big, 0, lo)
     hi = jnp.max(jnp.where(valid, tiles + 1, 0), axis=2)
     wlo = jnp.min(lo, axis=2)  # [B, nt] union window start
+    # tiles with zero hits anywhere (the all-padding tail past each scene's
+    # occupancy — budgets are p95-calibrated, so real scenes leave 10-25%
+    # of rows empty) are marked wlo = -1: the kernel skips their window DMA
+    # and offset loop entirely and just zeroes the output tile
+    wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
 
     # offset-major [B, K, M]: the kernel's per-offset read is a leading-dim
     # dynamic index (lane-dim dynamic indexing is not allowed)

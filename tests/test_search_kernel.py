@@ -88,9 +88,13 @@ def test_fused_gather_gemm_interpret():
         -1,
     )
     miss = rng.rand(b, m, k) < 0.2
+    # all-miss tail: the padding rows past a scene's occupancy (budgets are
+    # p95-calibrated) — whole tiles of these must be skipped AND zeroed
+    miss[:, -120:, :] = True
     idx = jnp.asarray(np.where(miss, n, idx).astype(np.int32))
     w = jnp.asarray(rng.randn(k, c, e).astype(np.float32) * 0.1)
 
     ref = gather_gemm(feats, idx, w, 3)
     got = fused_gather_gemm(feats, idx, w, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    assert np.all(np.asarray(got)[:, -120:] == 0)
