@@ -65,3 +65,69 @@ def inference_detector(
 
     dets = run(variables, batch_pts, batch_col, valid)
     return detections_to_numpy(dets, 0)
+
+
+def inference_imvotenet(
+    net,
+    variables,
+    points: np.ndarray,
+    image: np.ndarray,
+    boxes_2d: np.ndarray,
+    depth2img: np.ndarray,
+    num_points: int = 20000,
+    n_classes: int = 10,
+    nms_thr: float = 0.25,
+    score_thr: float = 0.05,
+    seed: int = 0,
+):
+    """Multi-modality (points + image) single-sample inference — the
+    `inference_multi_modality_detector` analog (reference
+    `mmdet3d/apis/inference.py:121-170`).
+
+    Args:
+        net: `ImVoteNet` module; variables: its params/batch_stats.
+        points: [N, >=3] depth-frame cloud (xyz first; height is re-derived
+            like the training pipeline's ShiftHeight).
+        image: [H, W, 3] float RGB at the net's input size.
+        boxes_2d: [D, 6] (x1, y1, x2, y2, conf, cls) in the image frame —
+            from `extract_bboxes_2d` or GT.
+        depth2img: [3, 3] projection
+            (`fcaf3d_tpu.data.datasets.sunrgbd_depth2img`).
+
+    Returns {boxes_3d, scores_3d, labels_3d} numpy arrays (joint tower,
+    bottom-centered box7) with padding stripped.
+    """
+    from ..data.pipelines import ShiftHeight
+    from ..models.votenet import votenet_get_bboxes
+
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(points, np.float32)[:, :3]
+    pts = ShiftHeight()({"points": pts}, rng)["points"]  # [N, 4]
+    sel = rng.choice(len(pts), num_points, replace=len(pts) < num_points)
+    pts = pts[sel]
+
+    d = max(len(boxes_2d), 1)
+    b2 = np.zeros((d, 6), np.float32)
+    bv = np.zeros((d,), bool)
+    if len(boxes_2d):
+        b2[: len(boxes_2d)] = np.asarray(boxes_2d, np.float32)
+        bv[: len(boxes_2d)] = True
+
+    @jax.jit
+    def run(v, p, im, bx, bvv, c):
+        outs = net.apply(
+            v, p, im, bx, bvv, depth2img=c, train=False, towers=("joint",)
+        )
+        return votenet_get_bboxes(
+            outs["joint"], p, n_classes, nms_thr=nms_thr, score_thr=score_thr
+        )
+
+    dets = run(
+        variables,
+        jnp.asarray(pts[None]),
+        jnp.asarray(np.asarray(image, np.float32)[None]),
+        jnp.asarray(b2[None]),
+        jnp.asarray(bv[None]),
+        jnp.asarray(np.asarray(depth2img, np.float32)[None]),
+    )
+    return detections_to_numpy(dets, 0)

@@ -93,3 +93,44 @@ def test_imvotenet_forward_and_loss(towers):
         assert any(k.startswith("joint_") for k in losses)
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
+
+
+def test_inference_imvotenet_api():
+    """Multi-modality inference analog (`inference_multi_modality_detector`):
+    raw cloud + image + 2D boxes + calib -> stripped detections."""
+    import jax
+
+    from fcaf3d_tpu.apis.inference import inference_imvotenet
+
+    rng = np.random.RandomState(1)
+    model = ImVoteNet(
+        n_classes=4, num_proposal=16, num_sampled_seed=32,
+        backbone_num_points=(64, 32, 16, 8),
+    )
+    n = 256
+    pts1 = jnp.asarray(rng.uniform(0, 3, (1, n, 4)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(0, 255, (1, 16, 24, 3)).astype(np.float32))
+    bx1 = jnp.asarray(np.array([[[0, 0, 24, 16, 0.8, 1]]], np.float32))
+    bv1 = jnp.ones((1, 1), bool)
+    d2i = jnp.asarray(
+        np.array([[[10.0, 0, 12], [0, 10.0, 8], [0, 0, 1]]], np.float32))
+    variables = jax.jit(
+        lambda k: model.init(k, pts1, img1, bx1, bv1, None, d2i, train=False)
+    )(jax.random.PRNGKey(0))
+
+    cloud = rng.uniform(0, 3, (500, 6)).astype(np.float32)
+    out = inference_imvotenet(
+        model, variables, cloud, np.asarray(img1[0]),
+        np.array([[0, 0, 24, 16, 0.8, 1]], np.float32),
+        np.asarray(d2i[0]), num_points=n, n_classes=4,
+    )
+    assert set(out) == {"boxes_3d", "scores_3d", "labels_3d"}
+    assert out["boxes_3d"].shape[1] == 7
+    assert np.all(np.isfinite(out["boxes_3d"]))
+    # empty 2D boxes also run (zero-imvote fallback path)
+    out2 = inference_imvotenet(
+        model, variables, cloud, np.asarray(img1[0]),
+        np.zeros((0, 6), np.float32), np.asarray(d2i[0]),
+        num_points=n, n_classes=4,
+    )
+    assert set(out2) == {"boxes_3d", "scores_3d", "labels_3d"}
