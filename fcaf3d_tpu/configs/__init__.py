@@ -10,3 +10,10 @@ from .fcaf3d import (  # noqa: F401
     fcaf3d_tiny,
 )
 from .override import add_set_argument, apply_overrides  # noqa: F401
+from .votenet import (  # noqa: F401
+    VoteNetConfig,
+    votenet_sunrgbd,
+    votenet_tiny,
+    votenet_v1_scannet,
+    votenet_v1_sunrgbd,
+)

@@ -85,10 +85,26 @@ def _quad_inter_area_np(c1, c2):
 
 
 def pairwise_iou_3d_np(boxes1, boxes2):
-    """[N, M] 3D IoU of bottom-centered box7 arrays (numpy)."""
+    """[N, M] 3D IoU of bottom-centered box7 arrays.
+
+    Dispatches to the native C++ kernel (`fcaf3d_tpu.native`, the host-side
+    analog of the reference's `iou3d_cuda` eval op) when available; the
+    numpy path below is the reference implementation and the fallback
+    (`FCAF3D_NATIVE=0` forces it)."""
     n, m = len(boxes1), len(boxes2)
     if n == 0 or m == 0:
         return np.zeros((n, m))
+    from ..native import pairwise_iou_3d
+
+    native = pairwise_iou_3d(np.asarray(boxes1), np.asarray(boxes2))
+    if native is not None:
+        return native.astype(np.float64)
+    return _pairwise_iou_3d_numpy(np.asarray(boxes1), np.asarray(boxes2))
+
+
+def _pairwise_iou_3d_numpy(boxes1, boxes2):
+    """Pure-numpy reference implementation (and FCAF3D_NATIVE=0 fallback)."""
+    n, m = len(boxes1), len(boxes2)
     b1 = np.broadcast_to(boxes1[:, None, :], (n, m, 7)).copy()
     b2 = np.broadcast_to(boxes2[None, :, :], (n, m, 7)).copy()
     inter2d = _quad_inter_area_np(
@@ -172,14 +188,28 @@ def _eval_det_cls(pred, gt, iou_thresholds):
     all_boxes = [all_boxes[i] for i in sorted_ind]
 
     nd = len(image_ids)
+    # one det-x-gt IoU matrix per scene (instead of a per-detection call:
+    # the matrix is where the time goes, and batching it per scene lets the
+    # native kernel / vectorized numpy amortize)
+    iou_rows = [None] * nd
+    scene_det_idx = {}
+    for d in range(nd):
+        scene_det_idx.setdefault(image_ids[d], []).append(d)
+    for sid, dlist in scene_det_idx.items():
+        gt_boxes = class_recs[sid]["bbox"]
+        if len(gt_boxes) == 0:
+            continue
+        det_boxes = np.asarray([all_boxes[d] for d in dlist]).reshape(-1, 7)
+        mat = pairwise_iou_3d_np(det_boxes, gt_boxes)
+        for r, d in enumerate(dlist):
+            iou_rows[d] = mat[r]
+
     tp = np.zeros((len(iou_thresholds), nd))
     fp = np.zeros((len(iou_thresholds), nd))
     for d in range(nd):
         rec = class_recs[image_ids[d]]
-        gt_boxes = rec["bbox"]
-        cur_box = np.asarray(all_boxes[d]).reshape(1, 7)
-        if len(gt_boxes) > 0:
-            ious = pairwise_iou_3d_np(cur_box, gt_boxes)[0]
+        if iou_rows[d] is not None:
+            ious = iou_rows[d]
             jmax = int(np.argmax(ious))
             iou_max = float(ious[jmax])
         else:

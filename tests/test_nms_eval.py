@@ -185,3 +185,36 @@ def test_indoor_eval_less_classes_golden():
     ret = indoor_eval(gt, dt, (0.25, 0.5), {0: "cabinet", 1: "bed", 2: "chair"})
     assert np.isclose(ret["mAP_0.25"], 0.666667, atol=1e-4)
     assert np.isclose(ret["mAR_0.25"], 0.666667, atol=1e-4)
+
+
+def test_native_iou_matches_numpy_reference():
+    """The C++ eval kernel (fcaf3d_tpu.native, iou3d_cuda analog) must be
+    numerically interchangeable with the numpy reference path."""
+    from fcaf3d_tpu.core.eval import _pairwise_iou_3d_numpy
+    from fcaf3d_tpu.native import pairwise_iou_3d
+
+    nat_check = pairwise_iou_3d(np.zeros((1, 7), np.float32) + 1,
+                                np.zeros((1, 7), np.float32) + 1)
+    if nat_check is None:
+        import pytest
+
+        pytest.skip("native build unavailable")
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        n, m = rng.randint(1, 60), rng.randint(1, 30)
+        b1 = np.zeros((n, 7), np.float32)
+        b1[:, :2] = rng.uniform(-3, 3, (n, 2))
+        b1[:, 2] = rng.uniform(-1, 1, n)
+        b1[:, 3:6] = rng.uniform(0.2, 2.0, (n, 3))
+        b1[:, 6] = rng.uniform(-3.2, 3.2, n)
+        b2 = np.zeros((m, 7), np.float32)
+        b2[:, :2] = rng.uniform(-3, 3, (m, 2))
+        b2[:, 2] = rng.uniform(-1, 1, m)
+        b2[:, 3:6] = rng.uniform(0.2, 2.0, (m, 3))
+        b2[:, 6] = rng.uniform(-3.2, 3.2, m)
+        nat = pairwise_iou_3d(b1, b2)
+        ref = _pairwise_iou_3d_numpy(b1, b2)
+        np.testing.assert_allclose(nat, ref, atol=1e-5)
+    # identical rotated boxes -> IoU 1
+    np.testing.assert_allclose(
+        pairwise_iou_3d(b1[:5], b1[:5]).diagonal(), 1.0, atol=1e-5)

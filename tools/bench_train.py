@@ -25,7 +25,8 @@ def main():
                     help="global batch (default: config batch_size)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--config", default="fcaf3d_scannet")
+    ap.add_argument("--config", default="fcaf3d_scannet",
+                    help="fcaf3d_* or votenet_* config factory")
     args = ap.parse_args()
 
     import jax
@@ -45,25 +46,57 @@ def main():
 
     rng = np.random.RandomState(0)
     pts = np.stack([synth_scene(rng, p)[0] for _ in range(b)])
-    colors = rng.uniform(0, 255, (b, p, 3)).astype(np.float32)
     boxes = np.zeros((b, g, 7), np.float32)
     boxes[..., :2] = rng.uniform(0.5, 5.0, (b, g, 2))
     boxes[..., 2] = 0.0
     boxes[..., 3:6] = rng.uniform(0.3, 1.5, (b, g, 3))
-    batch = {
-        "points": jnp.asarray(pts),
-        "colors": jnp.asarray(colors),
-        "valid": jnp.ones((b, p), bool),
-        "gt_boxes": jnp.asarray(boxes),
-        "gt_labels": jnp.asarray(rng.randint(0, cfg.n_classes, (b, g)).astype(np.int32)),
-        "gt_valid": jnp.ones((b, g), bool),
-    }
-
+    labels = rng.randint(0, cfg.n_classes, (b, g)).astype(np.int32)
     tx = make_optimizer(lr=cfg.lr, weight_decay=cfg.weight_decay,
                         grad_clip=cfg.grad_clip, steps_per_epoch=1000,
                         lr_steps=cfg.lr_steps)
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
-    step = make_train_step(model, cfg, tx)
+
+    if args.config.startswith("votenet"):
+        # VoteNet training throughput is the reference's published training
+        # benchmark (docs/benchmarks.md:8-23: 358 samples/s on 8x V100)
+        from fcaf3d_tpu.models.votenet import VoteNet
+        from fcaf3d_tpu.train.trainer import TrainState, make_votenet_train_step
+
+        model = VoteNet(
+            n_classes=cfg.n_classes, n_reg_outs=cfg.n_reg_outs,
+            yaw_parametrization=cfg.yaw_parametrization,
+            num_proposal=cfg.num_proposal,
+            backbone_num_points=cfg.backbone_num_points,
+            sample_mod=cfg.sample_mod,
+        )
+        height = pts[..., 2:3] - np.percentile(pts[..., 2], 1)
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, p, 3 + cfg.in_feat_dims), jnp.float32))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
+        step = make_votenet_train_step(model, cfg, tx)
+        batch = {
+            "points": jnp.asarray(
+                np.concatenate([pts, height], axis=-1).astype(np.float32)),
+            "gt_boxes": jnp.asarray(boxes),
+            "gt_labels": jnp.asarray(labels),
+            "gt_valid": jnp.ones((b, g), bool),
+        }
+    else:
+        batch = {
+            "points": jnp.asarray(pts),
+            "colors": jnp.asarray(
+                rng.uniform(0, 255, (b, p, 3)).astype(np.float32)),
+            "valid": jnp.ones((b, p), bool),
+            "gt_boxes": jnp.asarray(boxes),
+            "gt_labels": jnp.asarray(labels),
+            "gt_valid": jnp.ones((b, g), bool),
+        }
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
+        step = make_train_step(model, cfg, tx)
 
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
