@@ -93,6 +93,7 @@ def evaluate_dataset(
     max_scenes: Optional[int] = None,
     tta: bool = False,
     mesh=None,
+    show_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run inference over `dataset` (test-mode pipeline) and compute mAP/mAR.
 
@@ -161,6 +162,17 @@ def evaluate_dataset(
             gt_annos.append(
                 {"gt_boxes_3d": s["gt_boxes"], "gt_labels_3d": s["gt_labels"]}
             )
+        if show_dir is not None:
+            # dump points + pred/gt wireframes per scene (the reference's
+            # `tools/test.py --show-dir` -> show_result .obj dumps)
+            from ..core.visualizer import show_result
+
+            for j, (i, s) in enumerate(zip(idxs, samples)):
+                show_result(
+                    s["points"][:, :3], dt_annos[lo + j]["boxes_3d"],
+                    np.asarray(s["gt_boxes"]).reshape(-1, 7), show_dir,
+                    f"scene_{i:05d}",
+                )
     label2cat = {i: c for i, c in enumerate(dataset.classes)} if hasattr(
         dataset, "classes"
     ) else {}

@@ -86,9 +86,14 @@ def test_train_eval_checkpoint_roundtrip(mini_root, tmp_path):
         pipeline=make_test_pipeline(cfg, align=False), test_mode=True,
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    metrics = evaluate_dataset(model, variables, val, cfg, batch_size=2)
+    show = tmp_path / "show"
+    metrics = evaluate_dataset(model, variables, val, cfg, batch_size=2,
+                               show_dir=str(show))
     assert "mAP_0.25" in metrics and "mAP_0.50" in metrics
     assert 0.0 <= metrics["mAP_0.25"] <= 1.0
+    # --show-dir analog dumped per-scene .obj wireframes
+    dumped = list(show.glob("scene_*"))
+    assert dumped, "show_dir produced no scene dumps"
 
 
 def test_tta_aug_test_merges_flips():

@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--max-scenes", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None, help="json file for metrics")
+    ap.add_argument("--show-dir", default=None,
+                    help="dump per-scene points + pred/gt wireframe .obj "
+                    "(reference tools/test.py --show-dir analog)")
     ap.add_argument("--tta", action="store_true",
                     help="4-way BEV flip test-time augmentation "
                          "(MultiScaleFlipAug3D + aug_test analog)")
@@ -79,7 +82,7 @@ def main():
     metrics = evaluate_dataset(
         model, variables, val, cfg,
         batch_size=args.batch, seed=args.seed, max_scenes=args.max_scenes,
-        tta=args.tta, mesh=mesh,
+        tta=args.tta, mesh=mesh, show_dir=args.show_dir,
     )
     for k in sorted(metrics):
         print(f"{k}: {metrics[k]:.4f}")
