@@ -172,3 +172,49 @@ def test_me_offset_order_impulse():
     out_wrong = sparse_conv(st, jnp.asarray(w_me), 3, 1)
     diffs = np.abs(np.asarray(out_wrong.feats[0]) - of)
     assert diffs.max() > 1.0
+
+
+def test_cli_converts_real_torch_pth(tmp_path):
+    """End-to-end through a REAL torch-serialized .pth: torch.save a
+    reference-shaped checkpoint (state_dict + mmcv-style meta), run the
+    tools/convert_checkpoint.py CLI, compare every leaf against the
+    in-process convert(). Pins torch.load handling + tensor->numpy."""
+    torch = pytest.importorskip("torch")
+    import pickle
+    import subprocess
+
+    sd_np = make_reference_state_dict()
+    sd_t = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
+    pth = tmp_path / "epoch_12.pth"
+    torch.save(
+        {"state_dict": sd_t,
+         "meta": {"CLASSES": ("a", "b", "c", "d"), "config": "cfg-text"}},
+        str(pth),
+    )
+    out = tmp_path / "params.pkl"
+    r = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", "--pth", str(pth),
+         "--out", str(out)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert r.returncode == 0, r.stderr
+    with open(out, "rb") as f:
+        got = pickle.load(f)
+    want = convert(sd_np)
+
+    def leaves(tree, prefix=""):
+        for k in sorted(tree):
+            v = tree[k]
+            if isinstance(v, dict):
+                yield from leaves(v, f"{prefix}/{k}")
+            else:
+                yield f"{prefix}/{k}", v
+
+    for (kp, a), (kq, b) in zip(leaves(got["params"]), leaves(want["params"])):
+        assert kp == kq
+        np.testing.assert_array_equal(a, b, err_msg=kp)
+    for (kp, a), (kq, b) in zip(
+        leaves(got["batch_stats"]), leaves(want["batch_stats"])
+    ):
+        assert kp == kq
+        np.testing.assert_array_equal(a, b, err_msg=kp)
