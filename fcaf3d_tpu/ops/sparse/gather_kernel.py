@@ -389,8 +389,10 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     # tiles with zero hits anywhere (the all-padding tail past each scene's
     # occupancy — budgets are p95-calibrated, so real scenes leave 10-25%
     # of rows empty) are marked wlo = -1: the kernel skips their window DMA
-    # and offset loop entirely and just zeroes the output tile
-    wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
+    # and offset loop entirely and just zeroes the output tile.
+    # FCAF3D_SKIP_DEAD_TILES=0 disables the marking (A/B + kill switch).
+    if os.environ.get("FCAF3D_SKIP_DEAD_TILES", "1") != "0":
+        wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
 
     # offset-major [B, K, M]: the kernel's per-offset read is a leading-dim
     # dynamic index (lane-dim dynamic indexing is not allowed)
