@@ -280,25 +280,41 @@ def _gather_gemm_fwd(feats, idx, weight, n_chunks, sorted_map):
     )
 
 
+def _fused_bwd_mode():
+    """'on' (TPU default), 'off', or 'force' (interpret mode, for tests)."""
+    import os
+
+    v = os.environ.get("FCAF3D_FUSED_BWD", "1")
+    if v == "force":
+        return "force"
+    return "off" if v == "0" else "on"
+
+
 def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
     feats, idx, weight = res
     b, n, cin = feats.shape
     k = weight.shape[0]
+    m = idx.shape[1]
     bounds = np.linspace(0, k, n_chunks + 1).astype(int)
     # accumulate both gradients in f32 even under bf16 compute
     dw = jnp.zeros(weight.shape, jnp.float32)
-    dfeats_pad = jnp.zeros((b, n + 1, cin), jnp.float32)
+    mode = _fused_bwd_mode()
+    use_fused = sorted_map and (
+        mode == "force" or (mode == "on" and _use_fused_conv())
+    )
+    dfeats_pad = None if use_fused else jnp.zeros((b, n + 1, cin), jnp.float32)
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if lo == hi:
             continue
         kc = hi - lo
-        m = idx.shape[1]
         g = _gather_rows(feats, idx[:, :, lo:hi]).reshape(b, m, kc * cin)
         dw = dw.at[lo:hi].add(
             jnp.einsum(
                 "bmx,bmd->xd", g, dout, preferred_element_type=jnp.float32
             ).reshape(kc, cin, -1)
         )
+        if use_fused:
+            continue
         contrib = jnp.einsum(
             "bmd,xd->bmx", dout, weight[lo:hi].reshape(kc * cin, -1),
             preferred_element_type=jnp.float32,
@@ -307,6 +323,31 @@ def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
         dfeats_pad = batched_scatter_add(
             dfeats_pad, flat_idx, contrib.reshape(b, -1, cin)
         )
+    if use_fused:
+        # dFeats through the SAME fused windowed kernel instead of XLA
+        # scatter-adds (read-modify-write of [B, M*K, Cin] floats — the
+        # train step's dominant transaction cost): invert the kernel map
+        # (conv maps are bijective per offset: idx[b, m, k] == i has at
+        # most one m) with ONE int32 scatter, then
+        # dfeats[i] = sum_k dout[rev[i, k]] @ W[k]^T — a gather-GEMM whose
+        # columns are near-monotone exactly like the forward's.
+        from .gather_kernel import fused_gather_gemm
+
+        karange = jnp.arange(k, dtype=jnp.int32)
+        pos = idx * k + karange  # [B, M, K]; misses land in the dump block
+        msrc = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[None, :, None], (b, m, k)
+        )
+        rev_flat = jnp.full((b, (n + 1) * k), m, jnp.int32)
+        rev_flat = batched_scatter_set(
+            rev_flat, pos.reshape(b, -1), msrc.reshape(b, -1)
+        )
+        rev = rev_flat.reshape(b, n + 1, k)[:, :n]
+        wT = jnp.swapaxes(weight, 1, 2)  # [K, Cout, Cin]
+        dfeats = fused_gather_gemm(
+            dout, rev, wT, interpret=True if mode == "force" else None
+        ).astype(feats.dtype)
+        return dfeats, None, dw.astype(weight.dtype)
     return dfeats_pad[:, :n].astype(feats.dtype), None, dw.astype(weight.dtype)
 
 

@@ -98,3 +98,40 @@ def test_fused_gather_gemm_interpret():
     got = fused_gather_gemm(feats, idx, w, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
     assert np.all(np.asarray(got)[:, -120:] == 0)
+
+
+def test_fused_backward_matches_scatter_backward(monkeypatch):
+    """dFeats via the inverted-map fused kernel == the XLA scatter-add
+    backward, on a REAL conv kernel map (bijective per offset)."""
+    import jax
+
+    from fcaf3d_tpu.ops.sparse.conv import conv_plan, gather_gemm
+    from fcaf3d_tpu.ops.sparse.tensor import SparseTensor, encode_coords, sort_rows
+
+    rng = np.random.RandomState(2)
+    # a sparse 10^3 occupancy -> sorted SparseTensor
+    occ = np.argwhere(rng.rand(10, 10, 10) < 0.25).astype(np.int32) + 2
+    n, cap, cin, cout = len(occ), 320, 8, 16
+    coords = np.full((1, cap, 3), 2047, np.int32)
+    coords[0, :n] = occ
+    feats = np.zeros((1, cap, cin), np.float32)
+    feats[0, :n] = rng.randn(n, cin)
+    keys = np.asarray(encode_coords(jnp.asarray(coords)))
+    c, f, k = sort_rows(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(keys))
+    st = SparseTensor(coords=c, feats=f, keys=k,
+                      shift=jnp.zeros((1, 3), jnp.int32))
+    _, _, idx, _ = conv_plan(st, 3, 1)
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    dout = jnp.asarray(rng.randn(1, cap, cout).astype(np.float32))
+
+    def loss(feats_in, weight):
+        return jnp.sum(gather_gemm(feats_in, idx, weight) * dout)
+
+    monkeypatch.setenv("FCAF3D_FUSED_BWD", "0")
+    df_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(st.feats, w)
+    monkeypatch.setenv("FCAF3D_FUSED_BWD", "force")
+    df_fus, dw_fus = jax.grad(loss, argnums=(0, 1))(st.feats, w)
+    np.testing.assert_allclose(np.asarray(df_fus), np.asarray(df_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_fus), np.asarray(dw_ref),
+                               atol=2e-4, rtol=2e-4)
