@@ -789,7 +789,8 @@ def _gen_bwd(p_chunk, res, dout):
     dout = dout.reshape(b, p * 8, e)
 
     dw = jnp.zeros((27 * c, e), jnp.float32)
-    dpad = jnp.zeros((b, p + 1, 8 * c), jnp.float32)
+    use_adjoint = _fused_bwd_mode() != "off"
+    dpad = None if use_adjoint else jnp.zeros((b, p + 1, 8 * c), jnp.float32)
     from .tensor import batched_scatter_add
 
     for lo in range(0, p, p_chunk):
@@ -803,6 +804,8 @@ def _gen_bwd(p_chunk, res, dout):
         do = dout[:, lo * 8:hi * 8]
         dw = dw + jnp.einsum("bmx,bme->xe", r, do,
                              preferred_element_type=jnp.float32)
+        if use_adjoint:
+            continue
         dr = jnp.einsum("bme,xe->bmx", do, wflat,
                         preferred_element_type=jnp.float32)
         # reverse routing: scatter-add (static duplicate indices) back into
@@ -812,7 +815,20 @@ def _gen_bwd(p_chunk, res, dout):
         dpad = batched_scatter_add(
             dpad, idx.reshape(b, -1), dg.reshape(b, pc * 27, 8 * c)
         )
-    dchild = dpad[:, :p].reshape(b, p * 8, c).astype(child_feats.dtype)
+    if use_adjoint:
+        # the parent kernel map is a symmetric self-map (its only caller,
+        # SparseGenConv3, builds it with k3 s1 offsets over the parent's own
+        # coords), so the adjoint IS the forward with negated offsets and
+        # transposed weights: dchild[j] = sum_k dout[neighbor_k(j)] @ W'[k]
+        # with W'[k] = W[26-k]^T (offset 26-k has delta = -delta_k). Misses
+        # route through the zero dump row and invalid rows receive zero
+        # cotangents from the caller's validity mask, so no extra masking —
+        # and no float scatter-adds — are needed.
+        dchild = _gen_fwd_impl(
+            dout, parent_idx, jnp.swapaxes(weight, 1, 2)[::-1], p_chunk
+        ).astype(child_feats.dtype)
+    else:
+        dchild = dpad[:, :p].reshape(b, p * 8, c).astype(child_feats.dtype)
     return dchild, None, dw.reshape(27, c, e).astype(weight.dtype)
 
 

@@ -135,3 +135,47 @@ def test_fused_backward_matches_scatter_backward(monkeypatch):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dw_fus), np.asarray(dw_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_gen_backward_adjoint_matches_scatter(monkeypatch):
+    """gen_gather_gemm's adjoint backward (reversed offsets + transposed
+    weights, no scatters) == the scatter backward, on a real symmetric
+    parent self-map with padding parents and caller-style validity mask."""
+    import jax
+
+    from fcaf3d_tpu.ops.sparse.conv import (
+        build_kernel_map,
+        gen_gather_gemm,
+        kernel_offsets,
+    )
+    from fcaf3d_tpu.ops.sparse.tensor import encode_coords, sort_rows
+
+    rng = np.random.RandomState(4)
+    occ = np.argwhere(rng.rand(6, 6, 6) < 0.3).astype(np.int32) * 2 + 4
+    p_real, cap = len(occ), 96
+    coords = np.full((1, cap, 3), 2047, np.int32)
+    coords[0, :p_real] = occ
+    keys = np.asarray(encode_coords(jnp.asarray(coords)))
+    c_s, _, k_s = sort_rows(jnp.asarray(coords), None, jnp.asarray(keys))
+    parent_idx = build_kernel_map(k_s, c_s, kernel_offsets(3, 2))  # [1, P, 27]
+
+    cin, cout = 8, 16
+    child_feats = jnp.asarray(rng.randn(1, 8 * cap, cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
+    dout = rng.randn(1, 8 * cap, cout).astype(np.float32)
+    # caller masks invalid children -> zero cotangents there
+    valid_parent = np.asarray(k_s[0]) != np.uint32(0xFFFFFFFF)
+    dout[0, ~np.repeat(valid_parent, 8)] = 0.0
+    dout = jnp.asarray(dout)
+
+    def loss(feats, weight):
+        return jnp.sum(gen_gather_gemm(feats, parent_idx, weight) * dout)
+
+    monkeypatch.setenv("FCAF3D_FUSED_BWD", "0")
+    df_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(child_feats, w)
+    monkeypatch.setenv("FCAF3D_FUSED_BWD", "1")
+    df_adj, dw_adj = jax.grad(loss, argnums=(0, 1))(child_feats, w)
+    np.testing.assert_allclose(np.asarray(df_adj), np.asarray(df_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_adj), np.asarray(dw_ref),
+                               atol=2e-4, rtol=2e-4)
