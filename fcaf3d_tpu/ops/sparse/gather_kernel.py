@@ -41,6 +41,36 @@ W_SUB = int(os.environ.get("FCAF3D_GATHER_W", "384"))
 W_BIG = int(os.environ.get("FCAF3D_GATHER_WBIG", "2048"))  # per-tile union window
 
 
+@functools.lru_cache(maxsize=1)
+def _tuning_table():
+    """Per-signature (C, E, K, M-bucket) tile geometry measured by
+    `tools/autotune_tiles.py` on real kernel maps. Env vars FCAF3D_GATHER_*
+    override everything; absent table entries fall back to module defaults."""
+    import json
+
+    path = os.environ.get(
+        "FCAF3D_GATHER_TUNE",
+        os.path.join(os.path.dirname(__file__), "gather_tuning.json"),
+    )
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {tuple(int(x) for x in k.split(",")): tuple(v)
+            for k, v in raw.items()}
+
+
+def _tuned_params(c, e, k, m):
+    """(t_rows, w_sub, w_big) for a call signature; the M key is bucketed
+    to the next power of two so budget tweaks don't invalidate the table."""
+    if os.environ.get("FCAF3D_GATHER_T") or os.environ.get("FCAF3D_GATHER_W"):
+        return T_ROWS, W_SUB, W_BIG  # explicit env experiment wins
+    mb = 1 << max(0, (int(m) - 1)).bit_length()
+    hit = _tuning_table().get((int(c), int(e), int(k), mb))
+    return tuple(hit) if hit else (T_ROWS, W_SUB, W_BIG)
+
+
 def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
     w_step = w_sub - 8  # piece advance (8-row alignment slack)
 
@@ -329,6 +359,8 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     b, n, c = feats.shape
     _, m, k = idx.shape
     e = weight.shape[-1]
+    if t_rows is None and w_sub is None and w_big is None:
+        t_rows, w_sub, w_big = _tuned_params(c, e, k, m)
     t_rows = t_rows or T_ROWS
     w_sub = w_sub or W_SUB
     w_big = w_big or W_BIG

@@ -179,3 +179,38 @@ def test_gen_backward_adjoint_matches_scatter(monkeypatch):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dw_adj), np.asarray(dw_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_gather_tuning_table(tmp_path, monkeypatch):
+    """Per-signature tile table: exact-key hit, M power-of-two bucketing,
+    env-var override precedence, and graceful fallback without a table."""
+    import json
+
+    from fcaf3d_tpu.ops.sparse import gather_kernel as gk
+
+    table = {"64,64,27,32768": [128, 192, 1024]}
+    path = tmp_path / "tune.json"
+    path.write_text(json.dumps(table))
+    monkeypatch.setenv("FCAF3D_GATHER_TUNE", str(path))
+    monkeypatch.delenv("FCAF3D_GATHER_T", raising=False)
+    monkeypatch.delenv("FCAF3D_GATHER_W", raising=False)
+    gk._tuning_table.cache_clear()
+
+    # M=27648 buckets up to 32768 -> table hit
+    assert gk._tuned_params(64, 64, 27, 27648) == (128, 192, 1024)
+    assert gk._tuned_params(64, 64, 27, 32768) == (128, 192, 1024)
+    # different signature -> module defaults
+    assert gk._tuned_params(128, 128, 27, 27648) == (
+        gk.T_ROWS, gk.W_SUB, gk.W_BIG)
+    # explicit env experiment beats the table
+    monkeypatch.setenv("FCAF3D_GATHER_T", "512")
+    assert gk._tuned_params(64, 64, 27, 27648) == (
+        gk.T_ROWS, gk.W_SUB, gk.W_BIG)
+    monkeypatch.delenv("FCAF3D_GATHER_T")
+
+    # missing/corrupt table -> defaults, no crash
+    monkeypatch.setenv("FCAF3D_GATHER_TUNE", str(tmp_path / "absent.json"))
+    gk._tuning_table.cache_clear()
+    assert gk._tuned_params(64, 64, 27, 27648) == (
+        gk.T_ROWS, gk.W_SUB, gk.W_BIG)
+    gk._tuning_table.cache_clear()

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--grid", choices=("small", "full"), default="small")
     ap.add_argument("--config", default="fcaf3d_scannet")
     ap.add_argument("--dir", default="/tmp/fcaf3d_autotune")
+    ap.add_argument("--emit", default=None,
+                    help="output path for the per-signature tuning JSON "
+                         "(default: fcaf3d_tpu/ops/sparse/gather_tuning.json)")
     args = ap.parse_args()
 
     import numpy as np
@@ -106,13 +109,17 @@ def main():
     print(f"captured {len(captured)} fused calls, "
           f"{len(sigs)} distinct signatures")
 
+    # the one-hot select costs T*W_SUB MACs/offset/tile and spans scale
+    # ~linearly with T, so small (T, W) pairs are the high-upside corner
     if args.grid == "small":
         grid = [(256, 384, 2048), (256, 512, 2048), (128, 256, 1024),
+                (128, 192, 1024), (64, 128, 1024), (192, 256, 1536),
                 (256, 384, 4096), (512, 640, 4096), (512, 512, 2048),
                 (128, 384, 2048)]
     else:
         grid = list(itertools.product(
-            (128, 256, 512), (256, 384, 512, 640), (1024, 2048, 4096)))
+            (64, 128, 192, 256, 512), (128, 192, 256, 384, 512, 640),
+            (1024, 1536, 2048, 4096)))
         grid = [(t, w, wb) for (t, w, wb) in grid if w < wb]
 
     def time_setting(sig, t, w, wb):
@@ -133,12 +140,16 @@ def main():
         return device_ms(d) / args.iters
 
     totals = defaultdict(float)
+    per_sig = {}
     for sig, mult in sorted(sigs.items(), key=lambda kv: -kv[1]):
         print(f"\nsignature feats={sig[0]} idx={sig[1]} w={sig[2]} x{mult}")
+        best_sig = (float("inf"), None)
         for (t, w, wb) in grid:
             ms = time_setting(sig, t, w, wb)
             totals[(t, w, wb)] += ms * mult
+            best_sig = min(best_sig, (ms, (t, w, wb)))
             print(f"    T={t:4d} W={w:4d} WB={wb:5d}  {ms:8.3f} ms/call")
+        per_sig[sig] = best_sig
 
     print("\nweighted totals per setting (lower is better):")
     for (t, w, wb), ms in sorted(totals.items(), key=lambda kv: kv[1]):
@@ -146,6 +157,25 @@ def main():
     best = min(totals, key=totals.get)
     print(f"\nbest: FCAF3D_GATHER_T={best[0]} FCAF3D_GATHER_W={best[1]} "
           f"FCAF3D_GATHER_WBIG={best[2]}")
+
+    # per-signature table consumed by gather_kernel._tuned_params: key is
+    # "Cin,Cout,K,M-bucket" (M rounded up to a power of two)
+    table = {}
+    for sig, (ms, setting) in per_sig.items():
+        if setting is None:
+            continue
+        (bb, n, c), (_, m, k), (_, _, e) = sig
+        mb = 1 << max(0, m - 1).bit_length()
+        key = f"{c},{e},{k},{mb}"
+        if key not in table or ms < table[key][1]:
+            table[key] = (setting, ms)
+    out_path = args.emit or os.path.join(
+        os.path.dirname(__file__), "..", "fcaf3d_tpu", "ops", "sparse",
+        "gather_tuning.json")
+    with open(out_path, "w") as f:
+        json.dump({k: list(v[0]) for k, v in sorted(table.items())}, f,
+                  indent=1)
+    print(f"wrote per-signature table -> {out_path}")
 
 
 if __name__ == "__main__":
