@@ -1,1 +1,1 @@
-from . import eval, geometry, nms, rotated_iou  # noqa: F401
+from . import anchors, eval, geometry, nms, rotated_iou, voxel  # noqa: F401
