@@ -157,16 +157,24 @@ def fcaf3d_s3dis() -> FCAF3DConfig:
 def fcaf3d_nano(n_classes: int = 3) -> FCAF3DConfig:
     """Minimal config for multi-device dry runs: per-device compute must be
     sub-second so CPU-mesh collective rendezvous (40s timeout, possibly
-    oversubscribed cores) can't drift apart."""
+    oversubscribed cores) can't drift apart.
+
+    depth=14 / n_outs=2 (the smallest real backbone/fast-variant shape,
+    reference `me_resnet.py:104-121` + `n_outs` truncation): XLA-CPU compile
+    time scales with the op count of the unrolled sparse cascade, and the
+    driver's cold-cache dryrun budget is minutes — depth-34/4-scale nano
+    compiled in ~400 s on a 1-core host, this one in ~1/3 of that."""
     return FCAF3DConfig(
         n_classes=n_classes,
         n_reg_outs=6,
         with_yaw=False,
         compute_dtype="float32",
+        depth=14,
+        n_outs=2,
         num_points=128,
         input_budget=128,
         backbone_budgets=(96, 64, 48, 24, 12, 8),
-        neck_budgets=(48, 24, 12, 8),
+        neck_budgets=(48, 24),
         max_gt_boxes=4,
         nms_pre=16,
         nms_cap=16,

@@ -1,1 +1,10 @@
-from . import anchors, eval, geometry, nms, rotated_iou, voxel  # noqa: F401
+from . import (  # noqa: F401
+    anchors,
+    box_np_ops,
+    eval,
+    geometry,
+    nms,
+    points,
+    rotated_iou,
+    voxel,
+)

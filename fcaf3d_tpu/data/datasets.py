@@ -20,6 +20,8 @@ from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+from ..core.points import default_attribute_dims
+
 SCANNET_CLASSES = (
     "cabinet", "bed", "chair", "sofa", "table", "door", "window", "bookshelf",
     "picture", "counter", "desk", "curtain", "refrigerator", "showercurtrain",
@@ -95,8 +97,13 @@ class IndoorDetDataset:
         boxes, labels = self.get_ann(index)
         if self.filter_empty_gt and not self.test_mode and len(boxes) == 0:
             return None
+        points = self._load_points(info)
         sample = {
-            "points": self._load_points(info),
+            "points": points,
+            # typed column map (core.points.Points3D): transforms that touch
+            # attribute columns (ShiftHeight, RandomDropPointsColor) address
+            # them by name instead of hardcoded slices
+            "attribute_dims": default_attribute_dims(points.shape[1]),
             "gt_boxes": boxes,
             "gt_labels": labels,
             "axis_align_matrix": self._axis_align_matrix(info),

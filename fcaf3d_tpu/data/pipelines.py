@@ -181,15 +181,20 @@ class RandomJitterPoints:
 
 
 class RandomDropPointsColor:
-    """`RandomDropPointsColor`: zero the color channels with probability p."""
+    """`RandomDropPointsColor`: zero the color channels with probability p.
+
+    Color columns come from the sample's `attribute_dims` map
+    (`core.points.default_attribute_dims`) so the transform works at any
+    column layout (with/without a height column); [3, 4, 5] when absent."""
 
     def __init__(self, drop_ratio=0.2):
         self.drop_ratio = drop_ratio
 
     def __call__(self, sample, rng):
         if rng.random() < self.drop_ratio:
+            cols = sample.get("attribute_dims", {}).get("color", [3, 4, 5])
             pts = sample["points"].copy()
-            pts[:, 3:6] = 0.0
+            pts[:, list(cols)] = 0.0
             sample["points"] = pts
         return sample
 
@@ -232,10 +237,10 @@ class ShiftHeight:
     `loading.py:418-424`). Used by the VoteNet/ImVoteNet pipelines."""
 
     def __call__(self, sample, rng):
-        pts = sample["points"]
-        floor = np.percentile(pts[:, 2], 0.99)
-        height = (pts[:, 2] - floor).astype(np.float32)[:, None]
-        sample["points"] = np.concatenate(
-            [pts[:, :3], height, pts[:, 3:]], axis=1
-        )
+        from ..core.points import Points3D
+
+        pts = Points3D(sample["points"],
+                       sample.get("attribute_dims")).add_height()
+        sample["points"] = pts.arr
+        sample["attribute_dims"] = pts.attribute_dims
         return sample

@@ -24,6 +24,20 @@ from ..ops.sparse.conv import (
 from ..ops.sparse.tensor import SparseTensor
 
 
+def maybe_remat(target, static_argnums=()):
+    """`nn.remat` unless FCAF3D_NO_REMAT=1.
+
+    Rematerialization trades compute for activation memory in the backward
+    pass; the escape hatch exists because remat TRACES its body even under
+    `jax.disable_jit()`, which breaks eager introspection (the autotuner's
+    capture of real kernel-map arrays, `tools/autotune_tiles.py`)."""
+    import os
+
+    if os.environ.get("FCAF3D_NO_REMAT", "0") == "1":
+        return target
+    return nn.remat(target, static_argnums=static_argnums)
+
+
 def _kaiming_kernel_init(key, shape, dtype=jnp.float32):
     """He-normal (fan_out, relu) over a [K, Cin, Cout] sparse kernel —
     the reference's `ME.utils.kaiming_normal_` init (`me_resnet.py:46`)."""

@@ -45,6 +45,7 @@ from .blocks import (
     SparseConv,
     SparseGenConv3,
     SparseGenerativeTranspose,
+    maybe_remat,
     sparse_elu,
 )
 from .losses import bce_loss_sum, focal_loss_sum, iou3d_loss_sum
@@ -188,7 +189,7 @@ class Fcaf3DNeckWithHead(nn.Module):
             x = SparseBatchNorm(name=f"up_block_{i + 1}_bn2")(x, train)
             return sparse_elu(x)
 
-        x = nn.remat(up_rest, static_argnums=(3,))(self, x, plan, train)
+        x = maybe_remat(up_rest, static_argnums=(3,))(self, x, plan, train)
 
         # lateral addition: by induction (must_keep at every level) every
         # lateral voxel is present in the pruned map, so the reference's
@@ -237,7 +238,7 @@ class Fcaf3DNeckWithHead(nn.Module):
                     )
                 else:
                     # remat: recompute up-block activations in the backward
-                    up = nn.remat(
+                    up = maybe_remat(
                         lambda mdl, xx, tr, _i=i: mdl._up_block(_i + 1,
                             inputs[_i].num_channels)(xx, tr),
                         static_argnums=(2,),
@@ -250,7 +251,7 @@ class Fcaf3DNeckWithHead(nn.Module):
             if kmap is None and self.neck_mode == "prune_early":
                 kmap = build_kernel_map_self(x.keys, x.coords, x.stride)
             plan = (x.coords, x.keys, kmap, None) if kmap is not None else None
-            out_blk = nn.remat(
+            out_blk = maybe_remat(
                 lambda mdl, xx, pp, tr, _i=i: mdl._out_block(_i)(xx, pp, tr),
                 static_argnums=(3,),
             )

@@ -24,6 +24,7 @@ from ..ops.sparse.conv import (
 from ..ops.sparse.tensor import SparseTensor
 from .blocks import (
     SparseBasicBlock,
+    maybe_remat,
     SparseBatchNorm,
     SparseBottleneck,
     SparseConv,
@@ -83,12 +84,12 @@ class MEResNet3D(nn.Module):
             plan_s1 = (out_coords, out_keys, build_kernel_map_self(
                 out_keys, out_coords, x.stride * 2), drop)
             # remat each block: recompute activations in the backward pass
-            block0 = nn.remat(block_cls, static_argnums=(2,))(
+            block0 = maybe_remat(block_cls, static_argnums=(2,))(
                 PLANES[i], stride=2, out_budget=stage_budgets[i],
                 name=f"layer{i + 1}_0")
             x = block0(x, train, (plan_s2, plan_s1, plan_ds))
             for j in range(1, layers[i]):
-                blk = nn.remat(block_cls, static_argnums=(2,))(
+                blk = maybe_remat(block_cls, static_argnums=(2,))(
                     PLANES[i], name=f"layer{i + 1}_{j}")
                 x = blk(x, train, (plan_s1, plan_s1, None))
             outs.append(x)

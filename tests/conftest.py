@@ -17,3 +17,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the sparse models are compile-bound on
+# XLA-CPU (minutes per train step cold), so reruns of the suite must not
+# re-pay compiles. Same cache `bench.py` / the dryrun use (utils/env.py).
+from fcaf3d_tpu.utils import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()

@@ -7,6 +7,8 @@ import pytest
 
 from fcaf3d_tpu.configs import fcaf3d_tiny
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 @pytest.fixture(scope="module")
 def mini_root(tmp_path_factory):

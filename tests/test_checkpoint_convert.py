@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 sys.path.insert(0, "tools")
 
 from convert_checkpoint import convert, me_offset_permutation  # noqa: E402

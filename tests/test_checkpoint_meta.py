@@ -11,6 +11,8 @@ import pytest
 from fcaf3d_tpu.configs import FCAF3DConfig, config_from_dict, fcaf3d_tiny
 from fcaf3d_tpu.train.checkpoint import load_meta, save_meta
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 REF = "/root/reference/tests/data"
 
 

@@ -15,6 +15,8 @@ from fcaf3d_tpu.models.detector2d import (
     nms_2d,
 )
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def synth(rng, b=1, hw=(96, 128), g=3, n_classes=4):
     imgs = rng.uniform(0, 255, (b, hw[0], hw[1], 3)).astype(np.float32)

@@ -7,6 +7,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from fcaf3d_tpu.core.eval2d import eval_det_2d, iou_xyxy
 from fcaf3d_tpu.models.detector2d import (

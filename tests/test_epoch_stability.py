@@ -17,6 +17,8 @@ from fcaf3d_tpu.configs import fcaf3d_tiny
 from fcaf3d_tpu.data.loader import Loader
 from tests.test_fcaf3d_model import synth_batch
 
+pytestmark = pytest.mark.slow
+
 
 class SynthDataset:
     """Fixed synthetic scenes, deterministic per index."""

@@ -15,6 +15,8 @@ from fcaf3d_tpu.models import (
 from fcaf3d_tpu.models.assigner import fcaf3d_assign
 from fcaf3d_tpu.models.fcaf3d_head import bbox_pred_to_bbox
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def synth_batch(rng, b=2, p=512, n_classes=4, g=8):
     pts = rng.uniform(0, 2.0, (b, p, 3)).astype(np.float32)

@@ -152,6 +152,7 @@ def test_s3dis_fixture_loads():
     assert np.isfinite(pts).all()
 
 
+@pytest.mark.slow
 def test_scannet_fixture_fcaf3d_inference():
     """FCAF3D end-to-end on the real ScanNet scene (reduced budgets)."""
     import dataclasses

@@ -11,6 +11,8 @@ from fcaf3d_tpu.models.imvotenet import (
     vote_fusion,
 )
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def test_sample_valid_seeds_cycles():
     mask = jnp.asarray([False, True, False, True, False])

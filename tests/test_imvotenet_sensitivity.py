@@ -24,9 +24,9 @@ from fcaf3d_tpu.models.imvotenet import ImVoteNet, imvotenet_loss
 from fcaf3d_tpu.models.votenet import votenet_get_bboxes
 
 REF = "/root/reference/tests/data/sunrgbd"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference fixtures not available"
-)
+)]
 
 IMG_HW = (96, 128)
 N_POINTS = 1024

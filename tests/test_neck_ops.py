@@ -18,6 +18,9 @@ from fcaf3d_tpu.ops.sparse.neck_ops import (
     threshold_select,
 )
 from tests.test_sparse_engine import make_sparse
+import pytest
+
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
 
 
 def rand_map(rng, n, cap, grid=8, stride=2, channels=3):

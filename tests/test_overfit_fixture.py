@@ -38,9 +38,9 @@ from fcaf3d_tpu.models import FCAF3D, fcaf3d_get_bboxes, infer_config
 from fcaf3d_tpu.train import create_train_state, make_optimizer, make_train_step
 
 REF = "/root/reference/tests/data"
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference fixtures not available"
-)
+)]
 
 
 from fcaf3d_tpu.data.synth import densify  # noqa: E402  (shared helper)

@@ -6,6 +6,8 @@ import pytest
 
 from fcaf3d_tpu.ops.sparse.search import T_QUERIES, searchsorted_segments
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def oracle(keys, queries):
     return jax.vmap(lambda k, q: jnp.searchsorted(k, q, side="left"))(

@@ -19,6 +19,8 @@ from fcaf3d_tpu.ops.sparse import (
     voxelize_reduce,
 )
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def make_sparse(occ_list, feats_list, capacity, stride=1, channels=2):
     """Build a SparseTensor from per-sample lists of (coords [n,3], feats [n,C])."""

@@ -10,6 +10,8 @@ from fcaf3d_tpu.parallel import data_mesh
 from fcaf3d_tpu.train import create_train_state, make_optimizer, make_train_step
 from tests.test_fcaf3d_model import synth_batch
 
+pytestmark = pytest.mark.slow
+
 
 def make_batch(b=2):
     rng = np.random.RandomState(42)

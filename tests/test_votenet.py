@@ -13,6 +13,8 @@ from fcaf3d_tpu.models.votenet import (
     votenet_targets,
 )
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def synth(rng, cfg, b=2):
     p = cfg.num_points

@@ -16,6 +16,8 @@ from fcaf3d_tpu.models.votenet_v1 import (
 
 from test_votenet import synth
 
+pytestmark = pytest.mark.slow  # model/engine compile-heavy (two-lane suite)
+
 
 def tiny_coder(n_classes=4):
     return PartialBinBasedBBoxCoder(

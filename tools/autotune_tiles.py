@@ -64,6 +64,11 @@ def main():
                          "(default: fcaf3d_tpu/ops/sparse/gather_tuning.json)")
     args = ap.parse_args()
 
+    # disable remat BEFORE model import: remat traces its body even under
+    # disable_jit, hiding every block conv from the eager capture (round-3's
+    # first table covered only the stem + neck interps for this reason)
+    os.environ["FCAF3D_NO_REMAT"] = "1"
+
     import numpy as np
     import jax
     import jax.numpy as jnp
