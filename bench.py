@@ -1,19 +1,29 @@
-"""Benchmark: FCAF3D ScanNet inference throughput (scenes/sec) on one chip.
+"""Benchmark: north-star model inference throughput (scenes/sec) on one chip.
 
 Mirrors the reference's `tools/analysis_tools/benchmark.py` protocol
-(warmup then synchronized timing) on synthetic room-scale scenes. Baseline:
-8.0 scenes/s for the 4-scale HDResNet34 ScanNet model on a GTX1080Ti
-(reference README.md:91); north-star target is >= 2x on one TPU chip.
+(warmup then synchronized timing). Baseline: 8.0 scenes/s for the 4-scale
+HDResNet34 ScanNet model on a GTX1080Ti (reference README.md:91);
+north-star target is >= 2x on one TPU chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Configs: any factory in `fcaf3d_tpu.configs` — `fcaf3d_scannet` (default),
+`fcaf3d_scannet_3scales/2scales`, `fcaf3d_sunrgbd`, `fcaf3d_s3dis`,
+`votenet_sunrgbd`, `votenet_v1_*`, plus `--imvotenet` for the two-branch
+model. `--fixture` benches the reference's committed real scene instead of
+synthetic geometry and asserts zero voxel-budget overflow.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"tflops_per_scene"}. MFU is vs the v5e bf16 peak (1.97e14 FLOP/s) from XLA
+cost analysis of the jitted forward (incl. NMS).
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SCENES_PER_SEC = 8.0
+V5E_PEAK_FLOPS = 1.97e14  # bf16 per chip; fp32 paths still use this denom
 
 
 def synth_scene(rng, n_points, extent=(6.0, 6.0, 2.8)):
@@ -38,6 +48,164 @@ def synth_scene(rng, n_points, extent=(6.0, 6.0, 2.8)):
     return pts, colors
 
 
+def fixture_scene(dataset: str, n_points: int, rng):
+    """The reference's committed real scene (tests/data), aligned, sampled
+    to `n_points` — keeps synthetic calibration honest (VERDICT r3 #8)."""
+    from fcaf3d_tpu.data import Compose, GlobalAlignment, IndoorDetDataset
+    from fcaf3d_tpu.data.datasets import SCANNET_CLASSES, SUNRGBD_CLASSES
+
+    root = os.path.join("/root/reference/tests/data", dataset)
+    info = {"scannet": ("scannet_infos.pkl", SCANNET_CLASSES),
+            "sunrgbd": ("sunrgbd_infos.pkl", SUNRGBD_CLASSES)}[dataset]
+    ds = IndoorDetDataset(
+        root, os.path.join(root, info[0]), info[1],
+        pipeline=Compose([GlobalAlignment()]) if dataset == "scannet" else None,
+        test_mode=True,
+    )
+    pts = ds.get_sample(0, np.random.default_rng(0))["points"]
+    sel = rng.choice(len(pts), n_points, replace=len(pts) < n_points)
+    pts = pts[sel]
+    colors = pts[:, 3:6] if pts.shape[1] >= 6 else np.zeros_like(pts[:, :3])
+    return pts[:, :3].astype(np.float32), colors.astype(np.float32)
+
+
+def build_fcaf3d(cfg, args, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.models import FCAF3D, fcaf3d_get_bboxes, infer_config
+
+    model = FCAF3D(cfg)
+    b, p = args.batch, cfg.num_points
+    make = ((lambda: fixture_scene(args.fixture, p, rng)) if args.fixture
+            else (lambda: synth_scene(rng, p)))
+    scenes = [make() for _ in range(b)]
+    pts = jnp.asarray(np.stack([s[0] for s in scenes]))
+    colors = jnp.asarray(np.stack([s[1] for s in scenes]))
+    valid = jnp.ones((b, p), bool)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, colors, valid)
+    tcfg = infer_config(cfg)
+
+    if args.fixture:
+        # overflow audit: budgets must hold the real scene with zero drops
+        _, mut = model.apply(variables, pts, colors, valid, train=False,
+                             mutable=["overflow"])
+        drops = [int(np.max(x)) for x in
+                 jax.tree_util.tree_leaves(mut.get("overflow", {}))
+                 if x is not None]
+        worst = max(drops) if drops else 0
+        assert worst == 0, f"fixture scene overflowed budgets by {worst} rows"
+        print(f"# fixture overflow check: 0 dropped rows "
+              f"({len(drops)} maps audited)")
+
+    def run(v, a, c, m):
+        outs = model.apply(v, a, c, m, train=False)
+        return fcaf3d_get_bboxes(outs, tcfg)
+
+    def reduce_out(dets):
+        return jnp.sum(dets.scores)
+
+    return run, (variables, pts, colors, valid), reduce_out
+
+
+def build_votenet(cfg, args, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.models.votenet import VoteNet, votenet_get_bboxes
+    from fcaf3d_tpu.models.votenet_v1 import (
+        VoteNetV1,
+        scannet_coder,
+        sunrgbd_coder,
+        votenet_v1_get_bboxes,
+    )
+
+    b, p = args.batch, cfg.num_points
+    pts4 = np.empty((b, p, 4), np.float32)
+    for i in range(b):
+        xyz, _ = (fixture_scene(args.fixture, p, rng) if args.fixture
+                  else synth_scene(rng, p))
+        floor = np.percentile(xyz[:, 2], 0.99)
+        pts4[i, :, :3] = xyz
+        pts4[i, :, 3] = xyz[:, 2] - floor
+    pts4 = jnp.asarray(pts4)
+
+    if cfg.head_version == "v1":
+        coder = sunrgbd_coder() if cfg.with_yaw else scannet_coder()
+        model = VoteNetV1(
+            n_classes=cfg.n_classes, num_proposal=cfg.num_proposal,
+            backbone_num_points=cfg.backbone_num_points, coder=coder,
+        )
+        get_bboxes = votenet_v1_get_bboxes
+    else:
+        model = VoteNet(
+            n_classes=cfg.n_classes, num_proposal=cfg.num_proposal,
+            backbone_num_points=cfg.backbone_num_points,
+        )
+        get_bboxes = votenet_get_bboxes
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), pts4)
+
+    def run(v, x):
+        preds = model.apply(v, x, train=False)
+        return get_bboxes(preds, x, cfg.n_classes, nms_thr=cfg.nms_thr,
+                          score_thr=cfg.score_thr)
+
+    def reduce_out(dets):
+        return jnp.sum(dets.scores)
+
+    return run, (variables, pts4), reduce_out
+
+
+def build_imvotenet(cfg, args, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.models.imvotenet import ImVoteNet
+    from fcaf3d_tpu.models.votenet import votenet_get_bboxes
+
+    b, p = args.batch, cfg.num_points
+    h, w = 480, 640
+    pts4 = np.empty((b, p, 4), np.float32)
+    for i in range(b):
+        xyz, _ = synth_scene(rng, p)
+        floor = np.percentile(xyz[:, 2], 0.99)
+        pts4[i, :, :3] = xyz
+        pts4[i, :, 3] = xyz[:, 2] - floor
+    imgs = rng.uniform(0, 255, (b, h, w, 3)).astype(np.float32)
+    d = 8
+    b2 = np.zeros((b, d, 6), np.float32)
+    b2[..., 0] = rng.uniform(0, w / 2, (b, d))
+    b2[..., 1] = rng.uniform(0, h / 2, (b, d))
+    b2[..., 2] = b2[..., 0] + rng.uniform(20, w / 2, (b, d))
+    b2[..., 3] = b2[..., 1] + rng.uniform(20, h / 2, (b, d))
+    b2[..., 4] = rng.uniform(0.5, 1.0, (b, d))
+    b2[..., 5] = rng.randint(0, cfg.n_classes, (b, d))
+    bv = np.ones((b, d), bool)
+    k = np.array([[529.5, 0, 365.0], [0, 529.5, 265.0], [0, 0, 1]], np.float32)
+    depth2img = np.tile(k[None], (b, 1, 1))
+
+    net = ImVoteNet(n_classes=cfg.n_classes, num_proposal=cfg.num_proposal,
+                    backbone_num_points=cfg.backbone_num_points)
+    a = (jnp.asarray(pts4), jnp.asarray(imgs), jnp.asarray(b2),
+         jnp.asarray(bv), jnp.asarray(depth2img))
+    variables = jax.jit(
+        lambda key, *x: net.init(key, x[0], x[1], x[2], x[3],
+                                 depth2img=x[4], train=False,
+                                 towers=("joint",)))(jax.random.PRNGKey(0), *a)
+
+    def run(v, pp, im, bx, bm, c):
+        outs = net.apply(v, pp, im, bx, bm, depth2img=c, train=False,
+                         towers=("joint",))
+        return votenet_get_bboxes(outs["joint"], pp, cfg.n_classes,
+                                  nms_thr=cfg.nms_thr, score_thr=cfg.score_thr)
+
+    def reduce_out(dets):
+        return jnp.sum(dets.scores)
+
+    return run, (variables,) + a, reduce_out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
@@ -45,7 +213,12 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--config", default="fcaf3d_scannet",
                     help="config factory name from fcaf3d_tpu.configs "
-                         "(e.g. fcaf3d_scannet_3scales, fcaf3d_sunrgbd)")
+                         "(fcaf3d_*, votenet_*)")
+    ap.add_argument("--imvotenet", action="store_true",
+                    help="bench the two-branch ImVoteNet joint tower")
+    ap.add_argument("--fixture", default=None, choices=("scannet", "sunrgbd"),
+                    help="bench the reference's committed real scene and "
+                         "assert zero budget overflow")
     args = ap.parse_args()
 
     import jax
@@ -54,58 +227,59 @@ def main():
     setup_compilation_cache()
 
     from fcaf3d_tpu import configs
-    from fcaf3d_tpu.models import FCAF3D
 
     cfg = getattr(configs, args.config)()
-    model = FCAF3D(cfg)
     rng = np.random.RandomState(0)
-    b, p = args.batch, cfg.num_points
-    pts = np.stack([synth_scene(rng, p)[0] for _ in range(b)])
-    colors = rng.uniform(0, 255, (b, p, 3)).astype(np.float32)
-    pts, colors = jnp.asarray(pts), jnp.asarray(colors)
-    valid = jnp.ones((b, p), bool)
+    if args.imvotenet:
+        run, fargs, reduce_out = build_imvotenet(cfg, args, rng)
+        metric = "sunrgbd_imvotenet_inference"
+    elif args.config.startswith("votenet"):
+        run, fargs, reduce_out = build_votenet(cfg, args, rng)
+        metric = f"{args.config}_inference"
+    else:
+        run, fargs, reduce_out = build_fcaf3d(cfg, args, rng)
+        metric = ("scannet_fcaf3d_inference" if args.config == "fcaf3d_scannet"
+                  else f"{args.config}_inference")
 
-    from fcaf3d_tpu.models import fcaf3d_get_bboxes, infer_config
-
-    tcfg = infer_config(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pts, colors, valid)
-
-    # full inference pipeline incl. NMS, matching the reference's
-    # tools/analysis_tools/benchmark.py protocol (model(return_loss=False))
-    def run(v, a, c, m):
-        outs = model.apply(v, a, c, m, train=False)
-        return fcaf3d_get_bboxes(outs, tcfg)
-
-    fwd = jax.jit(run)
+    # FLOP count of one jitted forward (XLA cost analysis) -> MFU
+    flops = None
+    try:
+        cost = jax.jit(run).lower(*fargs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # serialized timing: run `iters` inferences inside one lax.scan with a
     # data dependency between iterations — immune to async-dispatch and
     # loop-invariant hoisting artifacts on the tunneled TPU backend
-    def many(v, a, c, m):
+    def many(v, first, *rest):
         def body(carry, _):
-            dets = run(v, a + carry * 1e-30, c, m)
-            return carry + jnp.sum(dets.scores), None
+            dets = run(v, first + carry * 1e-30, *rest)
+            return carry + reduce_out(dets).astype(jnp.float32), None
 
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=args.iters)
         return out
 
     jmany = jax.jit(many)
-    float(jmany(variables, pts, colors, valid))  # compile + warm
+    float(jmany(*fargs))  # compile + warm
     t0 = time.perf_counter()
-    float(jmany(variables, pts, colors, valid))
+    float(jmany(*fargs))
     dt = time.perf_counter() - t0
 
-    scenes_per_sec = args.iters * b / dt
-    print(
-        json.dumps(
-            {
-                "metric": "scannet_fcaf3d_inference",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
-            }
-        )
-    )
+    scenes_per_sec = args.iters * args.batch / dt
+    rec = {
+        "metric": metric,
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+    }
+    if flops:
+        per_scene = flops / args.batch
+        rec["tflops_per_scene"] = round(per_scene / 1e12, 4)
+        rec["mfu"] = round(per_scene * scenes_per_sec / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

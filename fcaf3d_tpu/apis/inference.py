@@ -14,14 +14,32 @@ from ..models.fcaf3d_head import fcaf3d_get_bboxes
 from .test import detections_to_numpy
 
 
-def init_detector(cfg: FCAF3DConfig, work_dir: Optional[str] = None, seed: int = 0):
-    """Build a detector and (optionally) load trained weights from work_dir."""
+def init_detector(cfg: FCAF3DConfig, work_dir: Optional[str] = None, seed: int = 0,
+                  params_file: Optional[str] = None):
+    """Build a detector and (optionally) load trained weights from work_dir
+    or a converted-checkpoint pickle (`tools/convert_checkpoint.py`)."""
     model = FCAF3D(cfg)
     b, p = 1, cfg.num_points
     zeros = jnp.zeros((b, p, 3), jnp.float32)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed), zeros, zeros, jnp.ones((b, p), bool)
     )
+    if params_file is not None:
+        import pickle
+
+        with open(params_file, "rb") as f:
+            loaded = pickle.load(f)
+        import numpy as _np
+
+        want = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
+        got = jax.tree_util.tree_map(lambda x: _np.asarray(x).shape,
+                                     loaded["params"])
+        assert want == got, "converted params tree does not match the model"
+        return model, {
+            "params": jax.tree_util.tree_map(jnp.asarray, loaded["params"]),
+            "batch_stats": jax.tree_util.tree_map(
+                jnp.asarray, loaded.get("batch_stats", {})),
+        }
     if work_dir is not None:
         from ..train.checkpoint import restore_checkpoint
         from ..train.optim import make_optimizer

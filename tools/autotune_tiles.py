@@ -104,15 +104,24 @@ def main():
             model.apply(variables, pts, cols, valid, train=False)
     finally:
         gather_kernel.fused_gather_gemm = orig
-    # dedupe by signature, keep call multiplicity as a weight
+    # dedupe by the TABLE key (Cin, Cout, K, M-bucket) — exact-shape
+    # signatures that share a tuning-table entry don't need separate sweeps;
+    # keep the largest-M example per key, weight by total multiplicity
+    def table_key(feats, idx, weight):
+        (_, _, c), (_, m, k), (_, _, e) = (
+            feats.shape, idx.shape, weight.shape)
+        mb = 1 << max(0, int(m) - 1).bit_length()
+        return (int(c), int(e), int(k), mb)
+
     sigs = defaultdict(int)
     examples = {}
     for feats, idx, weight in captured:
-        sig = (tuple(feats.shape), tuple(idx.shape), tuple(weight.shape))
+        sig = table_key(feats, idx, weight)
         sigs[sig] += 1
-        examples[sig] = (feats, idx, weight)
+        if sig not in examples or idx.shape[1] > examples[sig][1].shape[1]:
+            examples[sig] = (feats, idx, weight)
     print(f"captured {len(captured)} fused calls, "
-          f"{len(sigs)} distinct signatures")
+          f"{len(sigs)} distinct table keys")
 
     # the one-hot select costs T*W_SUB MACs/offset/tile and spans scale
     # ~linearly with T, so small (T, W) pairs are the high-upside corner
@@ -147,7 +156,8 @@ def main():
     totals = defaultdict(float)
     per_sig = {}
     for sig, mult in sorted(sigs.items(), key=lambda kv: -kv[1]):
-        print(f"\nsignature feats={sig[0]} idx={sig[1]} w={sig[2]} x{mult}")
+        c, e, k, mb = sig
+        print(f"\ntable key Cin={c} Cout={e} K={k} M<={mb} x{mult}")
         best_sig = (float("inf"), None)
         for (t, w, wb) in grid:
             ms = time_setting(sig, t, w, wb)
@@ -166,11 +176,9 @@ def main():
     # per-signature table consumed by gather_kernel._tuned_params: key is
     # "Cin,Cout,K,M-bucket" (M rounded up to a power of two)
     table = {}
-    for sig, (ms, setting) in per_sig.items():
+    for (c, e, k, mb), (ms, setting) in per_sig.items():
         if setting is None:
             continue
-        (bb, n, c), (_, m, k), (_, _, e) = sig
-        mb = 1 << max(0, m - 1).bit_length()
         key = f"{c},{e},{k},{mb}"
         if key not in table or ms < table[key][1]:
             table[key] = (setting, ms)

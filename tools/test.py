@@ -12,7 +12,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", choices=["scannet", "sunrgbd", "s3dis"], required=True)
     ap.add_argument("--data-root", required=True)
-    ap.add_argument("--work-dir", required=True, help="dir containing ckpts/")
+    ap.add_argument("--work-dir", default=None, help="dir containing ckpts/")
+    ap.add_argument("--params", default=None,
+                    help="converted reference checkpoint pickle "
+                         "(tools/convert_checkpoint.py) instead of --work-dir")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--max-scenes", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -55,7 +58,7 @@ def main():
     from fcaf3d_tpu.configs import config_from_dict
     from fcaf3d_tpu.train.checkpoint import load_meta
 
-    meta = load_meta(args.work_dir)
+    meta = load_meta(args.work_dir) if args.work_dir else None
     if meta is not None and meta.get("config"):
         cfg = config_from_dict(meta["config"])
         if meta.get("classes"):
@@ -73,7 +76,10 @@ def main():
         make_test_pipeline(cfg, align=align),
         test_mode=True,
     )
-    model, variables = init_detector(cfg, args.work_dir)
+    if not args.work_dir and not args.params:
+        ap.error("one of --work-dir / --params is required")
+    model, variables = init_detector(cfg, args.work_dir,
+                                     params_file=args.params)
     mesh = None
     if args.sharded:
         from fcaf3d_tpu.parallel.mesh import data_mesh
