@@ -52,6 +52,7 @@ def summarize(trace_dir, top=40, min_ms=0.02):
         if ms < min_ms:
             break
         print(f"{ms:9.3f} ms  x{count[name]:<5d} {name[:90]}")
+    return total
 
 
 def main():
@@ -103,14 +104,31 @@ def main():
         return fcaf3d_get_bboxes(outs, tcfg)
 
     fwd = jax.jit(run)
+    # FLOP count (XLA cost analysis) -> MFU at the measured device time
+    flops = None
+    try:
+        cost = fwd.lower(variables, pts, cols, valid).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
     out = fwd(variables, pts, cols, valid)
     jax.block_until_ready(out)
     with jax.profiler.trace(args.dir, create_perfetto_trace=True):
         for _ in range(args.iters):
             out = fwd(variables, pts, cols, valid)
         jax.block_until_ready(out)
-    summarize(args.dir, args.top)
+    total_ms = summarize(args.dir, args.top)
     print(f"(durations cover {args.iters} iterations)")
+    if flops and total_ms:
+        from bench import V5E_PEAK_FLOPS
+
+        per_fwd_ms = total_ms / args.iters
+        mfu = flops / (per_fwd_ms / 1e3) / V5E_PEAK_FLOPS
+        print(f"flops/forward: {flops / 1e12:.4f} TF  "
+              f"device {per_fwd_ms:.2f} ms/fwd  "
+              f"MFU {mfu * 100:.2f}% (v5e bf16 peak {V5E_PEAK_FLOPS:.3g})")
 
 
 if __name__ == "__main__":
