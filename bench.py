@@ -228,6 +228,10 @@ def main():
 
     from fcaf3d_tpu import configs
 
+    if args.imvotenet and not args.config.startswith("votenet"):
+        # ImVoteNet rides the VoteNet SUN RGB-D recipe (its 3D tower); the
+        # default --config is the FCAF3D one and lacks VoteNet fields
+        args.config = "votenet_sunrgbd"
     cfg = getattr(configs, args.config)()
     rng = np.random.RandomState(0)
     if args.imvotenet:
@@ -241,13 +245,20 @@ def main():
         metric = ("scannet_fcaf3d_inference" if args.config == "fcaf3d_scannet"
                   else f"{args.config}_inference")
 
-    # FLOP count of one jitted forward (XLA cost analysis) -> MFU
-    flops = None
+    # FLOP count of one jitted forward: XLA cost analysis (0 for Pallas
+    # custom calls) + trace-time analytic kernel FLOPs (utils/flops.py)
+    flops = mxu_flops = None
     try:
-        cost = jax.jit(run).lower(*fargs).compile().cost_analysis()
+        from fcaf3d_tpu.utils import flop_counter
+
+        with flop_counter() as fc:
+            lowered = jax.jit(run).lower(*fargs)
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        xla = float(cost.get("flops", 0.0))
+        flops = (xla + fc.model) or None
+        mxu_flops = (xla + fc.mxu) or None
     except Exception:
         pass
 
@@ -279,6 +290,11 @@ def main():
         per_scene = flops / args.batch
         rec["tflops_per_scene"] = round(per_scene / 1e12, 4)
         rec["mfu"] = round(per_scene * scenes_per_sec / V5E_PEAK_FLOPS, 4)
+    if mxu_flops:
+        # MXU ops actually issued (incl. the windowed kernel's one-hot
+        # selects) / peak — hardware utilization, >= MFU by construction
+        rec["mxu_util"] = round(
+            mxu_flops / args.batch * scenes_per_sec / V5E_PEAK_FLOPS, 4)
     print(json.dumps(rec))
 
 

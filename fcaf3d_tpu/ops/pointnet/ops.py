@@ -39,6 +39,18 @@ def furthest_point_sample(points, num_samples, valid=None):
     if valid is None:
         valid = jnp.ones((b, n), bool)
 
+    # TPU: the whole serial loop runs inside ONE Pallas kernel (identical
+    # selection semantics, ~no per-iteration dispatch cost; fps_kernel.py).
+    # FCAF3D_FPS_KERNEL=0 reverts to the XLA fori_loop formulation.
+    import os
+
+    if os.environ.get("FCAF3D_FPS_KERNEL", "1") != "0" and (
+        jax.default_backend() == "tpu"
+    ):
+        from .fps_kernel import fps_tpu
+
+        return fps_tpu(points, num_samples, valid)
+
     def per_sample(pts, val):
         start = jnp.argmax(val)  # first valid index (CUDA op starts at 0)
 
@@ -75,8 +87,19 @@ def ball_query(centers, points, radius, nsample, valid=None):
         valid = jnp.ones((b, n), bool)
     d2 = _sqdist(centers, points)  # [B, M, N]
     ok = (d2 < radius * radius) & valid[:, None, :]
-    order_score = jnp.where(ok, jnp.arange(n)[None, None, :], n)
-    picked = jnp.sort(order_score, axis=-1)[..., :nsample]  # ascending index
+    # lowest-index hits = top-k of the negated index over hits. approx_max_k
+    # at recall_target=1.0 is EXACT (all scores are distinct) and lowers to
+    # the TPU partial-reduce top-k — a full jnp.sort over N here was the
+    # single largest cost of the VoteNet train step (~700 ms/step of sorts).
+    # f32 holds indices exactly for n < 2**24.
+    n_iota = jnp.arange(n, dtype=jnp.float32)[None, None, :]
+    score = jnp.where(ok, -n_iota, jnp.float32(-n))
+    vals, _ = jax.lax.approx_max_k(
+        score, min(nsample, n), recall_target=1.0)
+    picked = (-vals).astype(jnp.int32)  # ascending index; miss -> n
+    if nsample > n:
+        picked = jnp.pad(picked, ((0, 0), (0, 0), (0, nsample - n)),
+                         constant_values=n)
     first = picked[..., :1]
     idx = jnp.where(picked >= n, first, picked)
     # centers with zero neighbors: fall back to index 0 (matches CUDA output
@@ -99,11 +122,16 @@ def group_points(points, idx):
 
 
 def knn(query, points, k, valid=None):
-    """k nearest neighbors: [B, M, 3] in [B, N, 3] -> idx [B, M, k]."""
+    """k nearest neighbors: [B, M, 3] in [B, N, 3] -> idx [B, M, k].
+
+    Uses the TPU partial-reduce top-k (exact at recall 1.0) instead of a
+    full argsort over N; ties pick an arbitrary duplicate (the distances,
+    which downstream weights consume, are identical either way).
+    """
     d2 = _sqdist(query, points)
     if valid is not None:
         d2 = jnp.where(valid[:, None, :], d2, _BIG)
-    idx = jnp.argsort(d2, axis=-1)[..., :k]
+    _, idx = jax.lax.approx_min_k(d2, k, recall_target=1.0)
     return idx.astype(jnp.int32)
 
 
@@ -116,8 +144,7 @@ def three_nn(query, points, valid=None):
     d2 = _sqdist(query, points)
     if valid is not None:
         d2 = jnp.where(valid[:, None, :], d2, _BIG)
-    idx = jnp.argsort(d2, axis=-1)[..., :3]
-    d = jnp.take_along_axis(d2, idx, axis=-1)
+    d, idx = jax.lax.approx_min_k(d2, 3, recall_target=1.0)
     return jnp.sqrt(jnp.maximum(d, 1e-12)), idx.astype(jnp.int32)
 
 

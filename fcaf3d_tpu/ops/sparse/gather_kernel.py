@@ -391,6 +391,19 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
             t_rows=t_rows, w_sub=w_sub, w_big=w_big,
         )
 
+    # trace-time FLOP accounting (utils/flops.py): XLA sees this op as a
+    # 0-flop custom call, so record the dense-equivalent GEMM work (model)
+    # and the work actually issued to the MXU (GEMM on padded rows + the
+    # one-hot select matmuls that replace row gathers).
+    from ...utils.flops import record_flops
+
+    c0 = c
+    mp_est = m + ((-m) % t_rows)
+    record_flops(
+        model=2.0 * b * m * k * c0 * e,
+        mxu=2.0 * b * mp_est * k * (c0 + ((-c0) % 128)) * (e + w_sub),
+    )
+
     # channel-pad to 128 lanes: HBM window DMAs require 128-aligned slices
     c_pad = (-c) % 128
     if c_pad:

@@ -197,3 +197,35 @@ def test_points_to_voxel_semantics():
     v, c, n = gen.generate(pts[:3])
     assert v.shape == (2, 5, 4) and c.shape == (2, 3)
     np.testing.assert_array_equal(n, [2, 1])
+
+
+def test_flop_counter_records_fused_gather_gemm():
+    """utils.flops: the fused gather-GEMM wrapper records its dense-
+    equivalent GEMM FLOPs at trace/call time; nesting and no-counter
+    paths are safe."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fcaf3d_tpu.ops.sparse.gather_kernel import fused_gather_gemm
+    from fcaf3d_tpu.utils import flop_counter
+
+    b, n, c, m, k, e = 2, 64, 8, 32, 3, 16
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, n + 1, (b, m, k)).astype(np.int32))
+    w = jnp.asarray(rng.randn(k, c, e).astype(np.float32))
+
+    # no active counter: plain call works
+    out = fused_gather_gemm(feats, idx, w, interpret=True)
+    assert out.shape == (b, m, e)
+
+    with flop_counter() as fc:
+        fused_gather_gemm(feats, idx, w, interpret=True)
+    assert fc.model == 2.0 * b * m * k * c * e
+    assert fc.mxu > fc.model  # selects + padding make MXU work strictly larger
+
+    # counters accumulate across calls and exit cleanly
+    with flop_counter() as fc2:
+        fused_gather_gemm(feats, idx, w, interpret=True)
+        fused_gather_gemm(feats, idx, w, interpret=True)
+    assert fc2.model == 2 * fc.model

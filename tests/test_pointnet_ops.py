@@ -74,3 +74,24 @@ def test_three_interpolate_exact_hit():
     out = np.asarray(three_interpolate(feats, idx, dist))
     np.testing.assert_allclose(out[0, 0, 0], 2.0, atol=1e-3)  # exact hit
     assert 1.0 < out[0, 1, 0] < 2.0  # between points 0 and 1
+
+
+def test_fps_pallas_matches_xla_loop():
+    """fps_kernel (interpret mode) selects the exact same indices as the
+    XLA fori_loop formulation, including validity masking and the
+    first-occurrence tie-break."""
+    from fcaf3d_tpu.ops.pointnet.fps_kernel import fps_tpu
+
+    rng = np.random.RandomState(7)
+    b, n, s = 2, 300, 17
+    pts = rng.randn(b, n, 3).astype(np.float32)
+    pts[1, 5] = pts[1, 3]  # exact duplicate -> tie-break path
+    valid = np.ones((b, n), bool)
+    valid[0, :4] = False  # start index differs from 0
+    valid[1, 150:] = False
+
+    ref = np.asarray(furthest_point_sample(
+        jnp.asarray(pts), s, jnp.asarray(valid)))
+    got = np.asarray(fps_tpu(jnp.asarray(pts), s, jnp.asarray(valid),
+                             interpret=True))
+    np.testing.assert_array_equal(got, ref)

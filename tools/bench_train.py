@@ -98,14 +98,24 @@ def main():
         model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
         step = make_train_step(model, cfg, tx)
 
-    for _ in range(args.warmup):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    # serialized protocol (same as bench.py): run all steps inside ONE
+    # lax.scan with the TrainState as carry, and synchronize by converting
+    # the final loss to a Python float (a real D2H). Per-call wall timing +
+    # block_until_ready is NOT trustworthy through the tunneled TPU backend
+    # (dispatch returns early and block can no-op -> ms-level fake numbers).
+    def many(state, batch):
+        def body(carry, _):
+            new_state, metrics = step(carry, batch)
+            return new_state, metrics["loss"]
 
+        return jax.lax.scan(body, state, None, length=args.steps)
+
+    jmany = jax.jit(many, donate_argnums=0)
+    state, losses = jmany(state, batch)
+    first_loss = float(losses[0])  # compile + warm (pays first-D2H cost)
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    state, losses = jmany(state, batch)
+    last_loss = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.steps
 
     print(json.dumps({
@@ -115,7 +125,8 @@ def main():
         "step_ms": round(dt * 1000, 1),
         "value": round(b / dt, 3),
         "unit": "scenes/sec",
-        "loss": round(float(metrics["loss"]), 4),
+        "loss": round(last_loss, 4),
+        "first_loss": round(first_loss, 4),
     }))
 
 

@@ -104,13 +104,20 @@ def main():
         return fcaf3d_get_bboxes(outs, tcfg)
 
     fwd = jax.jit(run)
-    # FLOP count (XLA cost analysis) -> MFU at the measured device time
-    flops = None
+    # FLOP count (XLA cost analysis + analytic Pallas-kernel FLOPs) -> MFU
+    # at the measured device time
+    flops = mxu_flops = None
     try:
-        cost = fwd.lower(variables, pts, cols, valid).compile().cost_analysis()
+        from fcaf3d_tpu.utils import flop_counter
+
+        with flop_counter() as fc:
+            lowered = fwd.lower(variables, pts, cols, valid)
+        cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        xla = float(cost.get("flops", 0.0))
+        flops = (xla + fc.model) or None
+        mxu_flops = (xla + fc.mxu) or None
     except Exception:
         pass
     out = fwd(variables, pts, cols, valid)
@@ -129,6 +136,10 @@ def main():
         print(f"flops/forward: {flops / 1e12:.4f} TF  "
               f"device {per_fwd_ms:.2f} ms/fwd  "
               f"MFU {mfu * 100:.2f}% (v5e bf16 peak {V5E_PEAK_FLOPS:.3g})")
+        if mxu_flops:
+            util = mxu_flops / (per_fwd_ms / 1e3) / V5E_PEAK_FLOPS
+            print(f"mxu work/forward: {mxu_flops / 1e12:.4f} TF  "
+                  f"(incl. one-hot selects)  MXU util {util * 100:.2f}%")
 
 
 if __name__ == "__main__":
