@@ -116,40 +116,57 @@ def build_kernel_map(
     z = out_coords[:, :, 2]
     step = np.uint32(lattice)
 
-    streams = []
-    shifts = []  # [B, M] bool per group: base z underflowed, streams start 1 up
-    valids = []
+    # static per-stream offset vectors: building q as ONE broadcast
+    # expression [B, M, 1] op [S] (instead of stacking S per-stream arrays)
+    # keeps XLA from materializing S separate [B, M, 1] temps — each was
+    # lane-padded 128x (340MB apiece at batch 16, the training OOM).
+    dxf, dyf, z0f, jf = [], [], [], []
     for dx, dy, z0, c, _ in groups:
-        xq, yq, zq = x + dx, y + dy, z + z0
-        # rows whose lowest z-offset lands below 0 start their stream ladder
-        # one lattice step up (element selects compensate below); zq is a
-        # lattice multiple, so a single step is always enough for our kernels
-        shift = zq < 0
-        zb = jnp.where(shift, zq + lattice, zq)
-        base_ok = (
-            (xq >= 0) & (xq < EXTENT[0]) & (yq >= 0) & (yq < EXTENT[1])
-            & (zb >= 0) & (zb < EXTENT[2])
-        )
-        # integer base key; OOB/padding rows -> SENTINEL (keeps segments
-        # sorted so the search kernel's windowing stays tight)
-        base = (
-            (xq.astype(jnp.uint32) << 21)
-            | (yq.astype(jnp.uint32) << 10)
-            | zb.astype(jnp.uint32)
-        )
-        base = jnp.where(base_ok, base, SENTINEL)
         for j in range(c + 1):
-            streams.append(
-                jnp.where(base == SENTINEL, SENTINEL, base + j * step))
-        shifts.append(shift)
+            dxf.append(dx)
+            dyf.append(dy)
+            z0f.append(z0)
+            jf.append(j)
+    dxf = np.asarray(dxf, np.int32)
+    dyf = np.asarray(dyf, np.int32)
+    z0f = np.asarray(z0f, np.int32)
+    jstep = (np.asarray(jf, np.uint32) * step).astype(np.uint32)
+
+    xq = x[..., None] + dxf  # [B, M, S]
+    yq = y[..., None] + dyf
+    zq = z[..., None] + z0f
+    # rows whose lowest z-offset lands below 0 start their stream ladder
+    # one lattice step up (element selects compensate below); zq is a
+    # lattice multiple, so a single step is always enough for our kernels
+    shift_f = zq < 0
+    zb = jnp.where(shift_f, zq + lattice, zq)
+    base_ok = (
+        (xq >= 0) & (xq < EXTENT[0]) & (yq >= 0) & (yq < EXTENT[1])
+        & (zb >= 0) & (zb < EXTENT[2])
+    )
+    # integer base key; OOB/padding rows -> SENTINEL (keeps segments
+    # sorted so the search kernel's windowing stays tight). Segments minor
+    # ([B, M, S]): streams land on TPU lanes, so neither the queries nor
+    # the search results need a transpose (see search.py)
+    base = (
+        (xq.astype(jnp.uint32) << 21)
+        | (yq.astype(jnp.uint32) << 10)
+        | zb.astype(jnp.uint32)
+    )
+    q = jnp.where(base_ok, base + jstep, SENTINEL)
+
+    shifts = []  # [B, M] bool per group: base z underflowed
+    valids = []
+    si = 0
+    for dx, dy, z0, c, _ in groups:
+        shifts.append(shift_f[..., si])
+        zg = z + z0
+        okg = base_ok[..., si]  # the group's base-stream bounds check
         for j in range(c):
             # per-element validity at the TRUE z (x/y shared with the base)
-            zj = zq + j * lattice
-            valids.append(base_ok & (zj >= 0) & (zj < EXTENT[2]))
-
-    # segments minor ([B, M, S]): streams land on TPU lanes, so neither the
-    # queries nor the search results need a transpose (see search.py)
-    q = jnp.stack(streams, axis=-1)
+            zj = zg + j * lattice
+            valids.append(okg & (zj >= 0) & (zj < EXTENT[2]))
+        si += c + 1
     import math
 
     gs = 0
