@@ -23,6 +23,16 @@ import time
 import numpy as np
 
 BASELINE_SCENES_PER_SEC = 8.0
+# Per-config GPU baselines (reference README.md:91-93, GTX1080Ti): the
+# fast variants have their own published scenes/s — vs_baseline must be
+# computed against the same model, not the 4-scale number.
+CONFIG_BASELINES = {
+    "fcaf3d_scannet": 8.0,
+    "fcaf3d_sunrgbd": 8.0,
+    "fcaf3d_s3dis": 8.0,
+    "fcaf3d_scannet_3scales": 12.2,
+    "fcaf3d_scannet_2scales": 31.5,
+}
 V5E_PEAK_FLOPS = 1.97e14  # bf16 per chip; fp32 paths still use this denom
 
 
@@ -280,11 +290,12 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = args.iters * args.batch / dt
+    base = CONFIG_BASELINES.get(args.config, BASELINE_SCENES_PER_SEC)
     rec = {
         "metric": metric,
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
-        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+        "vs_baseline": round(scenes_per_sec / base, 3),
     }
     if flops:
         per_scene = flops / args.batch
