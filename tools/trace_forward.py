@@ -36,22 +36,31 @@ def summarize(trace_dir, top=40, min_ms=0.02):
                 if "TPU" in n or "Device" in n or "/device" in n}
     agg = defaultdict(float)
     count = defaultdict(int)
+    solo = defaultdict(float)  # per exact op instance (merged across iters)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0) / 1000.0  # us -> ms
+        # the jit_<fn> module envelope CONTAINS every child op slice —
+        # counting it would double the total (and halve computed MFU)
+        if name.startswith("jit_"):
+            continue
         # strip trailing .N / digits to merge fusion instances
         base = re.sub(r"\.?\d+$", "", name)
         agg[base] += dur
         count[base] += 1
+        solo[name] += dur
         total += dur
     print(f"device total: {total:.2f} ms  ({trace_dir})")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         if ms < min_ms:
             break
         print(f"{ms:9.3f} ms  x{count[name]:<5d} {name[:90]}")
+    print("-- top individual ops --")
+    for name, ms in sorted(solo.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{ms:9.3f} ms  {name[:90]}")
     return total
 
 
