@@ -290,12 +290,14 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = args.iters * args.batch / dt
-    base = CONFIG_BASELINES.get(args.config, BASELINE_SCENES_PER_SEC)
+    # vs_baseline only where the reference publishes a same-model speed
+    # (VoteNet/ImVoteNet have none -> null, not a fake FCAF3D ratio)
+    base = CONFIG_BASELINES.get(args.config)
     rec = {
         "metric": metric,
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
-        "vs_baseline": round(scenes_per_sec / base, 3),
+        "vs_baseline": round(scenes_per_sec / base, 3) if base else None,
     }
     if flops:
         per_scene = flops / args.batch

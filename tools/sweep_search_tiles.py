@@ -39,12 +39,12 @@ pts, _ = synth_scene(rng, cfg.num_points)
 pts = jnp.asarray(pts[None])
 cols = jnp.ones((1, cfg.num_points, 3), jnp.float32)
 valid = jnp.ones((1, cfg.num_points), bool)
-st = voxelize(pts, cols, valid, cfg.voxel_size, cfg.voxel_budgets[0])
+st = voxelize(pts, cols, valid, cfg.voxel_size, cfg.input_budget)
 
 def maps(st):
     outs = []
     cur = st
-    for lvl, budget in enumerate(cfg.voxel_budgets[1:5]):
+    for lvl, budget in enumerate(cfg.backbone_budgets[:4]):
         # strided map (27-offset downsample search) + self map (13-offset)
         oc, ok, dropped = downsample_coords(cur, 2, budget)
         idx_s = build_kernel_map(cur.keys, oc, kernel_offsets(3, cur.stride))
