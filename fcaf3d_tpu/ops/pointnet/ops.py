@@ -76,13 +76,29 @@ def ball_query(centers, points, radius, nsample, valid=None):
     `nsample` neighbor indices per center, in ascending point-index order,
     padded by repeating the first found neighbor (CUDA op convention).
 
+    Large clouds (N >= FCAF3D_BALLQ_GRID_MIN, default 8192) dispatch to the
+    grid-bucketed Pallas path on TPU (`ballq_kernel.ball_query_grid`) — the
+    brute top-k over N was 70% of the VoteNet train step. Disable with
+    FCAF3D_BALLQ_GRID=0. Callers needing the overflow counter (dropped
+    candidates on pathologically dense cells) call `ball_query_grid`
+    directly; this wrapper discards it.
+
     Args:
         centers: [B, M, 3]; points: [B, N, 3]; valid: [B, N] bool.
 
     Returns:
         idx: [B, M, nsample] int32.
     """
+    import os
+
     b, n, _ = points.shape
+    grid_min = int(os.environ.get("FCAF3D_BALLQ_GRID_MIN", "8192"))
+    if (n >= grid_min and jax.default_backend() == "tpu"
+            and os.environ.get("FCAF3D_BALLQ_GRID", "1") != "0"):
+        from .ballq_kernel import ball_query_grid
+
+        idx, _ = ball_query_grid(centers, points, radius, nsample, valid)
+        return idx
     if valid is None:
         valid = jnp.ones((b, n), bool)
     d2 = _sqdist(centers, points)  # [B, M, N]

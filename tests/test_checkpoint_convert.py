@@ -220,3 +220,161 @@ def test_cli_converts_real_torch_pth(tmp_path):
     ):
         assert kp == kq
         np.testing.assert_array_equal(a, b, err_msg=kp)
+
+
+def _leaf_paths(tree, prefix=""):
+    out = []
+    for k in sorted(tree):
+        v = tree[k]
+        if isinstance(v, dict) or hasattr(v, "items"):
+            out += _leaf_paths(dict(v), f"{prefix}/{k}")
+        else:
+            out.append((f"{prefix}/{k}", tuple(np.shape(v))))
+    return out
+
+
+def make_votenet_state_dict(rng, head_prefix="bbox_head",
+                            backbone_prefix="backbone", in_feat=1,
+                            n_classes=10, n_reg=7):
+    """Reference-named VoteNet-v2 state_dict (`pointnet2_sa_ssg.py`,
+    `vote_head_v2.py` module names; SUN RGB-D channel plan)."""
+    sd = {}
+
+    def convmod(name, cin, cout, conv_ndim=4):
+        shape = (cout, cin) + (1,) * (conv_ndim - 2)
+        sd[f"{name}.conv.weight"] = rng.randn(*shape).astype(np.float32) * 0.05
+        sd[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+        sd[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+        sd[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+        sd[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+
+    bb, hd = backbone_prefix, head_prefix
+    sa_channels = ((64, 64, 128), (128, 128, 256), (128, 128, 256),
+                   (128, 128, 256))
+    cin = in_feat
+    for i, chs in enumerate(sa_channels):
+        c = cin + 3  # use_xyz
+        for j, ch in enumerate(chs):
+            convmod(f"{bb}.SA_modules.{i}.mlps.0.layer{j}", c, ch)
+            c = ch
+        cin = chs[-1]
+    fp_channels = ((256, 256), (256, 256))
+    fp_in = (256 + 256, 256 + 256)  # skip + prev
+    for i, chs in enumerate(fp_channels):
+        c = fp_in[i]
+        for j, ch in enumerate(chs):
+            convmod(f"{bb}.FP_modules.{i}.mlps.layer{j}", c, ch)
+            c = ch
+    for i, ch in enumerate((256, 256)):
+        convmod(f"{hd}.vote_module.vote_conv.{i}", 256, ch, conv_ndim=3)
+    sd[f"{hd}.vote_module.conv_out.weight"] = (
+        rng.randn(3 + 256, 256, 1).astype(np.float32) * 0.05)
+    sd[f"{hd}.vote_module.conv_out.bias"] = np.zeros(3 + 256, np.float32)
+    c = 256 + 3
+    for j, ch in enumerate((128, 128, 128)):
+        convmod(f"{hd}.vote_aggregation.mlps.0.layer{j}", c, ch)
+        c = ch
+    for i, ch in enumerate((128, 128)):
+        convmod(f"{hd}.conv_pred.shared_convs.layer{i}", c, ch, conv_ndim=3)
+        c = ch
+    sd[f"{hd}.conv_pred.conv_cls.weight"] = (
+        rng.randn(n_classes + 2, 128, 1).astype(np.float32) * 0.05)
+    sd[f"{hd}.conv_pred.conv_cls.bias"] = np.zeros(n_classes + 2, np.float32)
+    sd[f"{hd}.conv_pred.conv_reg.weight"] = (
+        rng.randn(n_reg, 128, 1).astype(np.float32) * 0.05)
+    sd[f"{hd}.conv_pred.conv_reg.bias"] = np.zeros(n_reg, np.float32)
+    return sd
+
+
+def test_convert_votenet_tree_matches_and_runs():
+    """convert_votenet output == VoteNet.init tree structure exactly, the
+    kernel transpose is right, and the model runs with converted params."""
+    import jax.numpy as jnp
+    from flax.core import unfreeze
+
+    from convert_checkpoint import convert_votenet
+
+    from fcaf3d_tpu.models.votenet import VoteNet
+
+    rng = np.random.RandomState(0)
+    sd = make_votenet_state_dict(rng)
+    out = convert_votenet(sd)
+
+    model = VoteNet(n_classes=10, n_reg_outs=7, num_proposal=32,
+                    backbone_num_points=(512, 256, 128, 64))
+    pts = jnp.asarray(rng.randn(1, 2048, 4).astype(np.float32))
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), pts)
+
+    want_p = _leaf_paths(unfreeze(variables)["params"])
+    got_p = _leaf_paths(out["params"])
+    assert got_p == want_p
+    want_s = _leaf_paths(unfreeze(variables)["batch_stats"])
+    got_s = _leaf_paths(out["batch_stats"])
+    assert got_s == want_s
+
+    # transpose pinned: torch [out, in, 1, 1] -> flax [in, out]
+    np.testing.assert_array_equal(
+        out["params"]["backbone"]["sa0"]["mlp0"]["Dense_0"]["kernel"],
+        sd["backbone.SA_modules.0.mlps.0.layer0.conv.weight"][:, :, 0, 0].T)
+
+    conv = {"params": jax.tree_util.tree_map(jnp.asarray, out["params"]),
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray,
+                                                  out["batch_stats"])}
+    preds = jax.jit(lambda v, x: model.apply(v, x, train=False))(conv, pts)
+    assert np.all(np.isfinite(np.asarray(preds["bbox_preds"])))
+
+
+def test_convert_imvotenet_tree_matches():
+    """convert_imvotenet maps pts_backbone + joint tower + img_mlp onto the
+    ImVoteNet tree (structure equality; the 2D branch is a documented
+    non-convert, detector2d.py redesign)."""
+    from flax.core import unfreeze
+    import jax.numpy as jnp
+
+    from convert_checkpoint import convert_imvotenet
+
+    from fcaf3d_tpu.models.imvotenet import ImVoteNet
+
+    rng = np.random.RandomState(1)
+    sd = make_votenet_state_dict(rng, head_prefix="pts_bbox_head_joint",
+                                 backbone_prefix="pts_backbone")
+    # joint tower consumes seed(256) + img(256) features
+    sd["pts_bbox_head_joint.vote_module.vote_conv.0.conv.weight"] = (
+        rng.randn(256, 512, 1).astype(np.float32) * 0.05)
+    for j, (cin, ch) in enumerate(((512 + 3, 128), (128, 128), (128, 128))):
+        sd[f"pts_bbox_head_joint.vote_aggregation.mlps.0.layer{j}"
+           ".conv.weight"] = rng.randn(ch, cin, 1, 1).astype(np.float32) * 0.05
+    sd["pts_bbox_head_joint.vote_module.conv_out.weight"] = (
+        rng.randn(3 + 512, 256, 1).astype(np.float32) * 0.05)
+    sd["pts_bbox_head_joint.vote_module.conv_out.bias"] = np.zeros(
+        3 + 512, np.float32)
+    for i, (cin, ch) in enumerate(((18, 256), (256, 256))):
+        sd[f"img_mlp.mlp.layer{i}.conv.weight"] = (
+            rng.randn(ch, cin, 1).astype(np.float32) * 0.05)
+        sd[f"img_mlp.mlp.layer{i}.bn.weight"] = np.ones(ch, np.float32)
+        sd[f"img_mlp.mlp.layer{i}.bn.bias"] = np.zeros(ch, np.float32)
+        sd[f"img_mlp.mlp.layer{i}.bn.running_mean"] = np.zeros(ch, np.float32)
+        sd[f"img_mlp.mlp.layer{i}.bn.running_var"] = np.ones(ch, np.float32)
+    out = convert_imvotenet(sd)
+
+    net = ImVoteNet(n_classes=10, num_proposal=32,
+                    backbone_num_points=(512, 256, 128, 64),
+                    num_sampled_seed=128)
+    b, p, h, w, d = 1, 2048, 60, 80, 4
+    k = np.array([[52.9, 0, 36.5], [0, 52.9, 26.5], [0, 0, 1]], np.float32)
+    variables = jax.jit(
+        lambda key, pp, im, bx, bv, c: net.init(
+            key, pp, im, bx, bv, depth2img=c, train=False,
+            towers=("joint",)))(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(b, p, 4).astype(np.float32)),
+        jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        jnp.asarray(np.array([[[1, 1, 30, 30, 0.9, 2]] * d], np.float32)),
+        jnp.ones((b, d), bool),
+        jnp.asarray(np.tile(k[None], (b, 1, 1))),
+    )
+    from flax.core import unfreeze as _uf
+    want_p = _leaf_paths(_uf(variables)["params"])
+    got_p = _leaf_paths(out["params"])
+    assert got_p == want_p

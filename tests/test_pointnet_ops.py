@@ -95,3 +95,75 @@ def test_fps_pallas_matches_xla_loop():
     got = np.asarray(fps_tpu(jnp.asarray(pts), s, jnp.asarray(valid),
                              interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def _brute_ball_query_np(centers, pts, radius, nsample):
+    """Numpy oracle with the reference CUDA semantics (exact d2, first
+    nsample hits in ascending index order, pad with first, no-hit -> 0)."""
+    b, m = centers.shape[:2]
+    out = np.zeros((b, m, nsample), np.int32)
+    for bi in range(b):
+        for mi in range(m):
+            d2 = ((pts[bi].astype(np.float64)
+                   - centers[bi, mi].astype(np.float64)) ** 2).sum(-1)
+            hits = np.where(d2 < radius * radius)[0][:nsample]
+            if len(hits):
+                row = np.full(nsample, hits[0], np.int32)
+                row[:len(hits)] = hits
+                out[bi, mi] = row
+    return out
+
+
+def test_ball_query_grid_matches_oracle():
+    """Grid-bucketed path (XLA formulation off-TPU) == brute oracle, away
+    from the r^2 floating-point boundary."""
+    from fcaf3d_tpu.ops.pointnet.ballq_kernel import ball_query_grid
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 3, (2, 800, 3)).astype(np.float32)
+    cent = pts[:, :96]
+    idx, overflow = ball_query_grid(
+        jnp.asarray(cent), jnp.asarray(pts), 0.35, 16)
+    idx = np.asarray(idx)
+    assert int(overflow) <= 0
+    expect = _brute_ball_query_np(cent, pts, 0.35, 16)
+    bad = 0
+    for bi, mi in zip(*np.where((idx != expect).any(-1))):
+        d2 = ((pts[bi].astype(np.float64)
+               - cent[bi, mi].astype(np.float64)) ** 2).sum(-1)
+        disputed = set(idx[bi, mi]) ^ set(expect[bi, mi])
+        # only f32-boundary points may legitimately differ
+        bad += any(abs(d2[i] - 0.35 ** 2) > 1e-5 for i in disputed)
+    assert bad == 0
+
+
+def test_ball_query_grid_respects_valid_mask():
+    from fcaf3d_tpu.ops.pointnet.ballq_kernel import ball_query_grid
+
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(0, 2, (1, 400, 3)).astype(np.float32)
+    valid = rng.uniform(size=(1, 400)) < 0.5
+    cent = pts[:, :32]
+    idx, _ = ball_query_grid(
+        jnp.asarray(cent), jnp.asarray(pts), 0.4, 8, jnp.asarray(valid))
+    idx = np.asarray(idx)
+    vmask = valid[0]
+    for mi in range(32):
+        d2 = ((pts[0] - cent[0, mi]) ** 2).sum(-1)
+        hit_any = (d2 < 0.16) & vmask
+        for j in idx[0, mi]:
+            if hit_any.any():
+                assert vmask[j], (mi, j)
+
+
+def test_ball_query_grid_pallas_interpret_matches_xla():
+    """The Pallas extraction kernel (interpret mode) reproduces the XLA
+    formulation exactly on a small cloud."""
+    from fcaf3d_tpu.ops.pointnet.ballq_kernel import ball_query_grid
+
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.uniform(0, 2.5, (1, 600, 3)).astype(np.float32))
+    cent = pts[:, :64]
+    idx_xla, _ = ball_query_grid(cent, pts, 0.3, 8, interpret=False)
+    idx_pl, _ = ball_query_grid(cent, pts, 0.3, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx_xla), np.asarray(idx_pl))

@@ -16,6 +16,13 @@ Protocol (reference `/root/reference/README.md:70-84`, `tools/test5x5.py`):
 
 Without `--params` it initializes random weights — useful to smoke the
 harness itself (exercised by tests/test_parity_harness.py).
+
+Known index-level nondeterminism: knn/three_nn/ball_query break exact-
+duplicate-point ties arbitrarily (TPU partial-reduce top-k), whereas the
+reference CUDA ops' strict-less scans pick the lowest index. Distances and
+interpolated FEATURES are identical either way, so activation stats and
+detections match; only raw neighbor-INDEX dumps can flap on scenes with
+duplicated points (ScanNet/SUN RGB-D sample with replacement).
 """
 import argparse
 import dataclasses
@@ -213,9 +220,27 @@ def main():
     ap.add_argument("--diff", nargs=2, metavar=("A", "B"),
                     help="compare two dumps instead of running")
     ap.add_argument("--rtol", type=float, default=1e-3)
+    ap.add_argument("--export-points", default=None, metavar="OUT.bin",
+                    help="write the sampled fixture scene as a flat f32 "
+                    "[N, 6] .bin and exit — feed the SAME file to "
+                    "tools/reference_parity_dump.py on the reference "
+                    "machine so both dumps consume bit-identical inputs")
     args = ap.parse_args()
     if args.diff:
         sys.exit(run_diff(args.diff[0], args.diff[1], args.rtol))
+    if args.export_points:
+        pts = load_fixture_points(args.dataset)
+        rng = np.random.RandomState(0)
+        from fcaf3d_tpu import configs
+
+        cfg = getattr(configs, args.config or f"fcaf3d_{args.dataset}")()
+        idx = rng.choice(len(pts), cfg.num_points,
+                         replace=len(pts) < cfg.num_points)
+        out = np.zeros((cfg.num_points, 6), np.float32)
+        out[:, :pts.shape[1]] = pts[idx][:, :6]
+        out.tofile(args.export_points)
+        print(f"wrote {args.export_points} ({cfg.num_points} x 6 f32)")
+        return
     run_dump(args)
 
 
