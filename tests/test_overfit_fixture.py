@@ -144,3 +144,105 @@ def test_overfit_sunrgbd_fixture():
         steps=120, lr=2e-3,
     )
     assert best >= 0.95, best  # hits 1.0 at step 40
+
+
+def _crowded_rotated_sample(rng, n_boxes=20, n_clutter=640, pts_per_box=96,
+                            gt=None):
+    """Crowded rotated scene with distractor clutter (VERDICT r5 item 8):
+    20 random-yaw boxes on a jittered grid (`data/synth.crowded_scene`),
+    box-surface point samples, a floor sheet, AND clutter points that
+    belong to no box — so the assigner/NMS must separate real objects from
+    distractor geometry rather than memorize a clean cloud. Pass `gt` to
+    re-sample fresh points for the SAME annotations (held-out eval)."""
+    from fcaf3d_tpu.data.synth import crowded_scene, densify
+
+    if gt is None:
+        gt = crowded_scene(n_boxes, len(SUNRGBD_CLASSES), rng, extent=6.0,
+                           with_yaw=True)
+    sample = densify(gt, pts_per_box, n_floor=256, rng=rng)
+    lo = gt["gt_boxes"][:, :3].min(axis=0) - 0.5
+    hi = (gt["gt_boxes"][:, :3] + gt["gt_boxes"][:, 3:6]).max(axis=0) + 0.5
+    clutter = np.stack([
+        rng.uniform(lo[0], hi[0], n_clutter),
+        rng.uniform(lo[1], hi[1], n_clutter),
+        rng.uniform(0.0, 2.2, n_clutter),
+    ], axis=1).astype(np.float32)
+    ccol = rng.uniform(0, 255, (n_clutter, 3)).astype(np.float32)
+    sample["points"] = np.concatenate(
+        [sample["points"], np.concatenate([clutter, ccol], axis=1)])
+    return sample
+
+
+def test_overfit_crowded_rotated_heldout_points():
+    """20 rotated boxes + clutter; after training, the scene is re-sampled
+    with a HELD-OUT rng (same annotations, fresh surface/clutter points) —
+    detection must come from learned box geometry, not memorized points."""
+    import jax.numpy as jnp
+
+    train_rng = np.random.default_rng(7)
+    sample = _crowded_rotated_sample(train_rng)
+    n_pts = len(sample["points"])
+    n_boxes = len(sample["gt_boxes"])
+
+    cfg = FCAF3DConfig(
+        n_classes=len(SUNRGBD_CLASSES), n_reg_outs=8, with_yaw=True,
+        yaw_parametrization="fcaf3d", compute_dtype="float32",
+        voxel_size=0.02, depth=14, num_points=n_pts,
+        input_budget=6144, backbone_budgets=(6144, 5120, 3584, 1536, 512, 128),
+        neck_budgets=(3584, 1536, 512, 128),
+        max_gt_boxes=n_boxes, assign_limit=9, assign_topk=6,
+        nms_pre=256, nms_cap=256, batch_size=1, lr=2e-3,
+    )
+    steps = 240
+    tx = make_optimizer(lr=cfg.lr, steps_per_epoch=steps, lr_steps=(1000,))
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), tx)
+    step = make_train_step(model, cfg, tx)
+    batch = collate([sample], cfg.num_points, cfg.max_gt_boxes)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    tcfg = infer_config(cfg)
+
+    @jax.jit
+    def infer(variables, points, colors, valid):
+        outs = model.apply(variables, points, colors, valid, train=False)
+        return fcaf3d_get_bboxes(outs, tcfg)
+
+    def eval_map(state, eval_sample):
+        eb = collate([eval_sample], cfg.num_points, cfg.max_gt_boxes)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        dets = infer(variables, jnp.asarray(eb["points"]),
+                     jnp.asarray(eb["colors"]), jnp.asarray(eb["valid"]))
+        keep = np.asarray(dets.valid[0])
+        dt = [{"boxes_3d": np.asarray(dets.boxes[0])[keep],
+               "scores_3d": np.asarray(dets.scores[0])[keep],
+               "labels_3d": np.asarray(dets.labels[0])[keep]}]
+        gt = [{"gt_boxes_3d": eval_sample["gt_boxes"],
+               "gt_labels_3d": eval_sample["gt_labels"]}]
+        m = indoor_eval(gt, dt, (0.25,),
+                        {i: c for i, c in enumerate(SUNRGBD_CLASSES)})
+        return m["mAP_0.25"]
+
+    best_train = 0.0
+    for i in range(steps):
+        state, metrics = step(state, jb)
+        if (i + 1) % 60 == 0:
+            m = eval_map(state, sample)
+            best_train = max(best_train, m)
+            print(f"[crowded] step {i+1} loss {float(metrics['loss']):.3f} "
+                  f"train-points mAP@0.25 {m:.3f}")
+            if best_train >= 0.995:
+                break
+    assert best_train >= 0.85, best_train
+
+    # held-out re-sampled points: same boxes, fresh rng for surfaces/clutter
+    heldout_rng = np.random.default_rng(1234)
+    heldout = _crowded_rotated_sample(
+        heldout_rng,
+        gt={"gt_boxes": sample["gt_boxes"], "gt_labels": sample["gt_labels"]})
+    m_held = eval_map(state, heldout)
+    print(f"[crowded] held-out-points mAP@0.25 {m_held:.3f}")
+    # measured 0.719 at 240 steps (train-points >= 0.85): the detector
+    # recovers ~3/4 of the crowded rotated boxes from UNSEEN point samples
+    # — geometry learned, not memorized. Bar set under the measured value
+    # with margin; regressions in assigner/NMS/decode drop this to ~0.
+    assert m_held >= 0.6, m_held
