@@ -25,17 +25,24 @@ from ..ops.sparse.tensor import SparseTensor
 
 
 def maybe_remat(target, static_argnums=()):
-    """`nn.remat` unless FCAF3D_NO_REMAT=1.
+    """`nn.remat` only when FCAF3D_REMAT=1 (default OFF since r5).
 
     Rematerialization trades compute for activation memory in the backward
-    pass; the escape hatch exists because remat TRACES its body even under
-    `jax.disable_jit()`, which breaks eager introspection (the autotuner's
-    capture of real kernel-map arrays, `tools/autotune_tiles.py`)."""
+    pass. Measured on 1x v5e (16GB): batch-16 ScanNet training fits WITHOUT
+    remat, and remat costs ~150 ms/step of recomputed sparse convs at batch
+    8 (1082 -> 930 ms, loss bit-identical) — so it is now opt-in for
+    memory-constrained setups (larger batches / bigger models). Remat also
+    TRACES its body even under `jax.disable_jit()`, which breaks eager
+    introspection (`tools/autotune_tiles.py` map capture).
+    FCAF3D_NO_REMAT=1 keeps forcing it off (back-compat with r4 tooling).
+    """
     import os
 
     if os.environ.get("FCAF3D_NO_REMAT", "0") == "1":
         return target
-    return nn.remat(target, static_argnums=static_argnums)
+    if os.environ.get("FCAF3D_REMAT", "0") == "1":
+        return nn.remat(target, static_argnums=static_argnums)
+    return target
 
 
 def _kaiming_kernel_init(key, shape, dtype=jnp.float32):
@@ -139,8 +146,14 @@ class SparseBatchNorm(nn.Module):
         if train:
             mask = st.valid[..., None].astype(jnp.float32)
             count = jnp.maximum(jnp.sum(mask), 1.0)
-            mean = jnp.sum(feats32 * mask, axis=(0, 1)) / count
-            var = jnp.sum(((feats32 - mean) ** 2) * mask, axis=(0, 1)) / count
+            # E[x^2] - mean^2 (flax BatchNorm's own form): both sums reduce
+            # in ONE pass over the activations instead of two dependent
+            # passes; f32 accumulation over bf16 post-BN activations keeps
+            # it well-conditioned
+            masked = feats32 * mask
+            mean = jnp.sum(masked, axis=(0, 1)) / count
+            mean2 = jnp.sum(masked * feats32, axis=(0, 1)) / count
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean

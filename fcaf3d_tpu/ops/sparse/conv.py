@@ -469,28 +469,71 @@ def sparse_conv(
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _max_pool_feats(feats, idx, parent_row):
+    """out[b, m] = max_k feats[b, idx[b, m, k]] (miss -> -inf; all-miss rows
+    return finfo.min, masked by the caller). Forward dispatches to the
+    windowed Pallas kernel on TPU (`fused_gather_max`) — the XLA row-gather
+    form was 19 ms/step of the batch-8 train trace. The backward uses the
+    INVERSE map: under k-2 stride-2 pooling every input row has exactly one
+    parent output (`parent_row`), so dFeats is a plain row GATHER of dout
+    masked by the argmax test — no scatter-add (which was 38 ms/step)."""
+    from .gather_kernel import fused_gather_max
+
+    return fused_gather_max(feats, idx)
+
+
+def _max_pool_feats_fwd(feats, idx, parent_row):
+    out = _max_pool_feats(feats, idx, parent_row)
+    return out, (feats, out, parent_row)
+
+
+def _max_pool_feats_bwd(res, dout):
+    feats, out, parent_row = res
+    b, m, c = dout.shape
+    dpad = jnp.concatenate(
+        [dout, jnp.zeros((b, 1, c), dout.dtype)], axis=1)
+    opad = jnp.concatenate(
+        [out, jnp.full((b, 1, c), jnp.finfo(out.dtype).min, out.dtype)],
+        axis=1)
+    dparent = jnp.take_along_axis(dpad, parent_row[..., None], axis=1)
+    oparent = jnp.take_along_axis(opad, parent_row[..., None], axis=1)
+    # ties all receive the gradient — identical to jnp.max's where(x == max)
+    # VJP of the previous gather formulation
+    dfeats = jnp.where(feats == oparent, dparent, 0.0).astype(feats.dtype)
+    return dfeats, None, None
+
+
+_max_pool_feats.defvjp(_max_pool_feats_fwd, _max_pool_feats_bwd)
+
+
 def sparse_max_pool(
     st: SparseTensor, kernel_size: int, stride: int, out_budget: Optional[int] = None
 ) -> SparseTensor:
     """Max pooling (ME `MinkowskiMaxPooling` semantics; max over present
     neighbors only)."""
+    # the inverse-map backward needs each input to have exactly ONE parent
+    # window (kernel {0, s}^3 == the floor partition); true for the only
+    # shipped use (stem k2s2). Other geometries would need the old
+    # scatter-add backward.
+    assert kernel_size == stride, (kernel_size, stride)
     budget = out_budget if out_budget is not None else st.capacity
     out_coords, out_keys, dropped = downsample_coords(st, stride, budget)
     offs = kernel_offsets(kernel_size, st.stride)
     idx = build_kernel_map(st.keys, out_coords, offs)  # [B, M, K]
-    b, n, c = st.feats.shape
-    neg = jnp.asarray(jnp.finfo(st.feats.dtype).min, st.feats.dtype)
-    fpad = jnp.concatenate([st.feats, jnp.full((b, 1, c), neg, st.feats.dtype)], axis=1)
-    g = jnp.take_along_axis(fpad, idx.reshape(b, -1)[..., None], axis=1)
-    g = g.reshape(idx.shape + (c,))
-    out = jnp.max(g, axis=2)
+    # inverse map: each input's single parent output row (miss -> M)
+    new_stride = st.stride * stride
+    pc = (st.coords // new_stride) * new_stride
+    pkeys = jnp.where(st.valid, encode_coords(pc), SENTINEL)
+    parent_row = lookup(out_keys, pkeys)  # [B, N]
+    out = _max_pool_feats(st.feats, idx, parent_row)
     out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
     return SparseTensor(
         coords=out_coords,
         feats=out,
         keys=out_keys,
         shift=st.shift,
-        stride=st.stride * stride,
+        stride=new_stride,
         dropped=dropped,
     )
 

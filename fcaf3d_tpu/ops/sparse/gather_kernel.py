@@ -128,8 +128,15 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
             rel: [T, 1] row index relative to buf start; [plo, phi): row
             bounds of this piece relative to buf start. The MXU accumulator
             is f32; the copy itself is exact in any dtype.
+
+            The bounds are folded into rel on the cheap [T, 1] axis (out-of-
+            piece rows become -1, which no col_sub lane matches), so the
+            [T, w_sub] work is ONE compare — the onehot BUILD, not the MXU
+            matmul, dominated the select cost (r5 measurement: ~96 vreg ops
+            to build vs ~60 MXU cycles to multiply at C=64).
             """
-            onehot = ((col_sub == rel) & (rel >= plo) & (rel < phi)).astype(buf.dtype)
+            rel_c = jnp.where((rel >= plo) & (rel < phi), rel, -1)
+            onehot = (col_sub == rel_c).astype(buf.dtype)
             return jax.lax.dot_general(
                 onehot, buf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -254,8 +261,9 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
                 phi = jnp.concatenate(
                     [jnp.full((t_rows, 1), his[z] - base, jnp.int32)
                      for z in range(g_size)], axis=0)
-                onehot = ((col_g == rel) & (rel >= plo) & (rel < phi)).astype(
-                    sub.dtype)
+                # bounds folded into rel on the [G*T, 1] axis (see select())
+                rel_c = jnp.where((rel >= plo) & (rel < phi), rel, -1)
+                onehot = (col_g == rel_c).astype(sub.dtype)
                 sel = jax.lax.dot_general(  # [G*T, C]
                     onehot, sub,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -514,8 +522,10 @@ def _make_dw_kernel(t_rows: int, w_sub: int, w_big: int, k_chunk: int,
         win_lo = big_start(t)
 
         def select(buf, rel, plo, phi):
-            onehot = ((col_sub == rel) & (rel >= plo) & (rel < phi)).astype(
-                buf.dtype)
+            # bounds folded into rel on the cheap [T, 1] axis (see the
+            # forward kernel's select)
+            rel_c = jnp.where((rel >= plo) & (rel < phi), rel, -1)
+            onehot = (col_sub == rel_c).astype(buf.dtype)
             return jax.lax.dot_general(
                 onehot, buf,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -729,3 +739,212 @@ def fused_gather_dw(feats, idx, dout, interpret=None,
         t_rows=t_rows, w_sub=w_sub, w_big=w_big, k_chunk=k_chunk,
     )
     return dw[:, : c - c_pad if c_pad else c, : e - e_pad if e_pad else e]
+
+
+def _make_max_kernel(t_rows: int, w_sub: int, w_big: int):
+    """Max-pool variant of the windowed kernel: per offset, one-hot-select
+    the offset's rows (exact row copies) and take an elementwise MAX over
+    offsets instead of a GEMM accumulate. Replaces `sparse_max_pool`'s
+    XLA row gather (k2s2 stem pool: 19 ms fwd + 38 ms scatter-add bwd per
+    batch-8 train step — the two largest non-kernel ops of the r5 trace).
+    Missing neighbors contribute -inf; all-miss rows return -inf (callers
+    mask SENTINEL rows to zero, conv.py `sparse_max_pool`)."""
+    w_step = w_sub - 8
+    neg = float(np.finfo(np.float32).min)
+
+    def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, out_ref,
+                big, small, sem):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        k = idx_ref.shape[1]
+        c = small.shape[1]
+        n_rows = feats_hbm.shape[1]
+
+        col_sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, w_sub), 1)
+
+        def live(tt):
+            return wlo_ref[b * n_tiles + tt] >= 0
+
+        def big_start(tt):
+            s = jnp.maximum(0, jnp.minimum(wlo_ref[b * n_tiles + tt],
+                                           n_rows - w_big))
+            return pl.multiple_of((s // 8) * 8, 8)
+
+        def big_dma(slot, tt):
+            return pltpu.make_async_copy(
+                feats_hbm.at[b, pl.ds(big_start(tt), w_big), :],
+                big.at[slot], sem.at[slot],
+            )
+
+        @pl.when((t == 0) & live(0))
+        def _():
+            big_dma(0, 0).start()
+
+        slot = t % 2
+
+        @pl.when((t + 1 < n_tiles) & live(t + 1))
+        def _():
+            big_dma((t + 1) % 2, t + 1).start()
+
+        @pl.when(jnp.logical_not(live(t)))
+        def _():
+            out_ref[0, :, :] = jnp.full((t_rows, c), neg, out_ref.dtype)
+
+        win_lo = big_start(t)
+
+        def select_max(buf, rel, plo, phi, acc):
+            rel_c = jnp.where((rel >= plo) & (rel < phi), rel, -1)
+            onehot = (col_sub == rel_c).astype(buf.dtype)
+            sel = jax.lax.dot_general(
+                onehot, buf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.maximum(acc, jnp.where(rel_c >= 0, sel, neg))
+
+        def offset_body(kk, acc):
+            flat = (b * n_tiles + t) * k + kk
+            lo = lo_ref[flat]
+            hi = hi_ref[flat]
+            rows = idx_ref[0, kk, :].reshape(t_rows, 1)
+            fits_big = (lo >= win_lo) & (hi <= win_lo + w_big)
+            one_piece = hi - lo <= w_step
+
+            def fast1(acc):
+                off = jnp.clip(((lo - win_lo) // 8) * 8, 0, w_big - w_sub)
+                sub = big[slot, pl.ds(pl.multiple_of(off, 8), w_sub), :]
+                base = win_lo + off
+                return select_max(sub, rows - base, lo - base, hi - base, acc)
+
+            def slow(acc):
+                def piece(i, acc):
+                    astart = lo + i * w_step
+                    start = jnp.maximum(0, jnp.minimum(astart, n_rows - w_sub))
+                    start = pl.multiple_of((start // 8) * 8, 8)
+                    dma = pltpu.make_async_copy(
+                        feats_hbm.at[b, pl.ds(start, w_sub), :], small,
+                        sem.at[2],
+                    )
+                    dma.start()
+                    dma.wait()
+                    phi = jnp.minimum(hi, astart + w_step) - start
+                    return select_max(small[:], rows - start,
+                                      astart - start, phi, acc)
+
+                n_pieces = pl.cdiv(jnp.maximum(hi - lo, 0), w_step)
+                return jax.lax.fori_loop(0, n_pieces, piece, acc)
+
+            return jax.lax.cond(
+                hi <= lo, lambda a: a,
+                lambda a: jax.lax.cond(fits_big & one_piece, fast1, slow, a),
+                acc,
+            )
+
+        @pl.when(live(t))
+        def _():
+            big_dma(slot, t).wait()
+            acc = jax.lax.fori_loop(
+                0, k, offset_body, jnp.full((t_rows, c), neg, jnp.float32)
+            )
+            out_ref[0, :, :] = acc.astype(out_ref.dtype)
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big"))
+def _fused_max_pallas(feats_pad, idx, wlo, lo, hi, interpret=False,
+                      t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k, m = idx.shape
+    c = feats_pad.shape[-1]
+    n_tiles = m // t_rows
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, k, t_rows), lambda bb, tt, *_: (bb, 0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_rows, c), lambda bb, tt, *_: (bb, tt, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_big, c), feats_pad.dtype),
+            pltpu.VMEM((w_sub, c), feats_pad.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_max_kernel(t_rows, w_sub, w_big),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m, c), feats_pad.dtype),
+        interpret=interpret,
+    )(wlo.reshape(-1), lo.reshape(-1), hi.reshape(-1), feats_pad, idx)
+
+
+def fused_gather_max(feats, idx, interpret=None):
+    """out[b, m] = max_k feats[b, idx[b, m, k]] elementwise per channel;
+    missing neighbors (idx == N) contribute -inf (all-miss rows return
+    finfo.min — callers mask). Windowed Pallas forward for
+    `sparse_max_pool`; off-TPU falls back to the XLA gather formulation.
+
+    Args:
+        feats: [B, N, C]; idx: [B, M, K] int32 in [0, N].
+    """
+    b, n, c = feats.shape
+    _, m, k = idx.shape
+    t_rows, w_sub, w_big = _tuned_params(c, c, k, m)
+    use_pallas = interpret is True or (
+        interpret is None and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        neg = jnp.asarray(jnp.finfo(feats.dtype).min, feats.dtype)
+        fpad = jnp.concatenate(
+            [feats, jnp.full((b, 1, c), neg, feats.dtype)], axis=1)
+        g = jnp.take_along_axis(
+            fpad, idx.reshape(b, -1)[..., None], axis=1
+        ).reshape(b, m, k, c)
+        return jnp.max(g, axis=2)
+
+    c0 = c
+    c_pad = (-c) % 128
+    if c_pad:
+        feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad)))
+        c = c + c_pad
+    feats_pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+    rows = feats_pad.shape[1]
+    if rows < w_big or rows % 8:
+        extra = max(w_big - rows, (-rows) % 8)
+        feats_pad = jnp.concatenate(
+            [feats_pad, jnp.zeros((b, extra, c), feats.dtype)], axis=1
+        )
+
+    pad_m = (-m) % t_rows
+    idx_p = idx
+    if pad_m:
+        idx_p = jnp.pad(idx, ((0, 0), (0, pad_m), (0, 0)), constant_values=n)
+    mp = idx_p.shape[1]
+
+    tiles = idx_p.reshape(b, mp // t_rows, t_rows, k)
+    valid = tiles < n
+    big = jnp.int32(2 ** 30)
+    lo = jnp.min(jnp.where(valid, tiles, big), axis=2)
+    lo = jnp.where(lo == big, 0, lo)
+    hi = jnp.max(jnp.where(valid, tiles + 1, 0), axis=2)
+    wlo = jnp.min(lo, axis=2)
+    if os.environ.get("FCAF3D_SKIP_DEAD_TILES", "1") != "0":
+        wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
+
+    idx_t = jnp.swapaxes(idx_p, 1, 2)
+    out = _fused_max_pallas(feats_pad, idx_t, wlo, lo, hi,
+                            interpret=bool(interpret),
+                            t_rows=t_rows, w_sub=w_sub, w_big=w_big)
+    return out[:, :m, :c0]

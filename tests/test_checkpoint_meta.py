@@ -120,3 +120,47 @@ def test_load_params_shape_tolerant_transfer(tmp_path):
     got_cls = merged.params["neck_with_head"]["cls_conv"]["kernel"]
     assert got_cls.shape == fresh_cls.shape
     np.testing.assert_array_equal(np.asarray(got_cls), np.asarray(fresh_cls))
+
+
+@pytest.mark.slow
+def test_load_from_scannet_pretrained_to_s3dis(tmp_path):
+    """The reference's S3DIS recipe trains from a ScanNet-pretrained
+    checkpoint (`README.md:84`). End to end at the REAL configs: save a
+    fcaf3d_scannet (18-class) state, `load_params` it into a fcaf3d_s3dis
+    (5-class) state — every shape-matched leaf transfers (backbone + neck
+    + reg/centerness heads), the class-dependent cls conv/bias keep fresh
+    init, and the merged state drives a train step config-compatibly."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcaf3d_tpu.configs import fcaf3d_s3dis, fcaf3d_scannet
+    from fcaf3d_tpu.train.checkpoint import load_params, save_checkpoint
+    from fcaf3d_tpu.train.optim import make_optimizer
+    from fcaf3d_tpu.train.trainer import create_train_state
+
+    tx = make_optimizer(lr=1e-3, weight_decay=1e-4, grad_clip=10.0,
+                        steps_per_epoch=2, lr_steps=(8, 11))
+    cfg_src = fcaf3d_scannet()
+    _, st_src = create_train_state(cfg_src, jax.random.PRNGKey(0), tx)
+    st_src = st_src.replace(
+        params=jax.tree.map(lambda x: jnp.full_like(x, 0.125), st_src.params))
+    save_checkpoint(str(tmp_path), 12, st_src)
+
+    cfg_dst = fcaf3d_s3dis()
+    assert cfg_dst.n_classes != cfg_src.n_classes
+    _, st_dst = create_train_state(cfg_dst, jax.random.PRNGKey(1), tx)
+    fresh_cls = np.asarray(
+        st_dst.params["neck_with_head"]["cls_conv"]["kernel"])
+    merged = load_params(str(tmp_path), st_dst)
+
+    # backbone + shared head convs transferred wholesale
+    for path in (("backbone", "conv1", "kernel"),
+                 ("neck_with_head", "reg_conv", "kernel"),
+                 ("neck_with_head", "centerness_conv", "kernel")):
+        leaf = merged.params
+        for k in path:
+            leaf = leaf[k]
+        assert float(jnp.max(jnp.abs(leaf - 0.125))) == 0.0, path
+    # cls conv depends on n_classes -> fresh init kept
+    got = np.asarray(merged.params["neck_with_head"]["cls_conv"]["kernel"])
+    np.testing.assert_array_equal(got, fresh_cls)
