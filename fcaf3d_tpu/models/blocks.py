@@ -146,14 +146,12 @@ class SparseBatchNorm(nn.Module):
         if train:
             mask = st.valid[..., None].astype(jnp.float32)
             count = jnp.maximum(jnp.sum(mask), 1.0)
-            # E[x^2] - mean^2 (flax BatchNorm's own form): both sums reduce
-            # in ONE pass over the activations instead of two dependent
-            # passes; f32 accumulation over bf16 post-BN activations keeps
-            # it well-conditioned
-            masked = feats32 * mask
-            mean = jnp.sum(masked, axis=(0, 1)) / count
-            mean2 = jnp.sum(masked * feats32, axis=(0, 1)) / count
-            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            # NOTE r5: the one-pass E[x^2]-mean^2 form was tried and made
+            # the batch-8 train step WORSE (930 -> 1314 ms traced) — the
+            # fused two-reduction forward lost more in backward fusion than
+            # it saved; keeping the two-pass form.
+            mean = jnp.sum(feats32 * mask, axis=(0, 1)) / count
+            var = jnp.sum(((feats32 - mean) ** 2) * mask, axis=(0, 1)) / count
             if not self.is_initializing():
                 ra_mean.value = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean

@@ -119,14 +119,36 @@ def batched_scatter_add(target: jnp.ndarray, pos: jnp.ndarray, values: jnp.ndarr
     return jax.vmap(lambda t, p, v: t.at[p].add(v))(target, pos, values)
 
 
+def decode_coords(keys: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `encode_coords`: unpack keys to coords with pure bit ops.
+    SENTINEL rows decode to EXTENT (the padding-coord convention), so for
+    any (coords, keys) pair built by `encode_coords` + the EXTENT masking,
+    `decode_coords(keys) == coords` exactly — which turns every post-sort
+    coord reorder into elementwise unpacking of the already-sorted keys
+    instead of a [B, N, 3] row gather (the three largest fusions of the r5
+    batch-8 inference trace, ~60 ms/fwd, were exactly these gathers)."""
+    x = (keys >> (Y_BITS + Z_BITS)).astype(jnp.int32)
+    y = ((keys >> Z_BITS) & (2 ** Y_BITS - 1)).astype(jnp.int32)
+    z = (keys & (2 ** Z_BITS - 1)).astype(jnp.int32)
+    c = jnp.stack([x, y, z], axis=-1)
+    return jnp.where((keys == SENTINEL)[..., None],
+                     jnp.asarray(EXTENT, jnp.int32), c)
+
+
 def sort_rows(coords: jnp.ndarray, feats: Optional[jnp.ndarray], keys: jnp.ndarray):
-    """Sort rows of a batched (coords, feats, keys) triplet by key (stable)."""
-    order = jnp.argsort(keys, axis=-1, stable=True)
-    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
-    keys = jnp.take_along_axis(keys, order, axis=1)
+    """Sort rows of a batched (coords, feats, keys) triplet by key (stable).
+
+    Keys and the permutation come out of ONE stable `lax.sort` (no argsort
+    + key re-gather), and coords are recovered by `decode_coords` — callers
+    maintain the coords == decode(keys) invariant (coords are always built
+    via `encode_coords` with EXTENT padding)."""
+    b, n = keys.shape
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+    skeys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+    coords = decode_coords(skeys)
     if feats is not None:
         feats = jnp.take_along_axis(feats, order[..., None], axis=1)
-    return coords, feats, keys
+    return coords, feats, skeys
 
 
 def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
@@ -231,11 +253,13 @@ def voxelize(
     keys = encode_coords(coords)
     keys = jnp.where(valid, keys, SENTINEL)
 
-    # sort only (coords, keys); gather features once at the end by composing
-    # src through the sort order (saves a [B, P, C] gather on the hot path)
-    order = jnp.argsort(keys, axis=-1, stable=True)
-    coords = jnp.take_along_axis(coords, order[..., None], axis=1)
-    keys = jnp.take_along_axis(keys, order, axis=1)
+    # sort keys+permutation in one stable lax.sort; sorted coords come from
+    # bit-decoding the sorted keys (decode_coords) — no [B, P, 3] gather.
+    # Features are gathered ONCE at the end by composing src through order.
+    b_, p_ = keys.shape
+    iota = jnp.broadcast_to(jnp.arange(p_, dtype=jnp.int32)[None], (b_, p_))
+    keys, order = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
+    coords = decode_coords(keys)
     out_coords, out_keys, src, dropped = compact_unique(coords, keys, budget)
     p = order.shape[1]
     order_pad = jnp.concatenate(
