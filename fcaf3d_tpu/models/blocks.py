@@ -68,7 +68,7 @@ class SparseConv(nn.Module):
     n_chunks: int = 3
 
     @nn.compact
-    def __call__(self, st: SparseTensor, plan=None) -> SparseTensor:
+    def __call__(self, st: SparseTensor, plan=None, epilogue=None) -> SparseTensor:
         k = self.kernel_size ** 3
         w = self.param(
             "kernel",
@@ -91,6 +91,7 @@ class SparseConv(nn.Module):
             out_budget=self.out_budget,
             n_chunks=self.n_chunks,
             plan=plan,
+            epilogue=epilogue,
         )
 
 
@@ -131,10 +132,27 @@ class SparseBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = False) -> SparseTensor:
-        c = st.num_channels
+    def __call__(self, st: Optional[SparseTensor], train: bool = False,
+                 features: Optional[int] = None):
+        """Standard mode (st given): return the normalized SparseTensor.
+        Affine mode (st=None, `features` given, inference only): return the
+        folded running-stats affine `(inv, shift)` f32 pair with
+        `bn(x) == x * inv + shift`, for fusing into the producing conv's
+        epilogue (`ConvEpilogue`). Parameter shapes/names are identical in
+        both modes, so checkpoints are unaffected."""
+        c = st.num_channels if st is not None else features
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        if st is None:
+            assert not train
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+            )
+            inv = scale.astype(jnp.float32) / jnp.sqrt(ra_var.value + self.eps)
+            return inv, bias.astype(jnp.float32) - ra_mean.value * inv
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
@@ -187,6 +205,15 @@ class SparseInstanceNorm(nn.Module):
         return st.with_feats(out)
 
 
+def fold_bn_inference() -> bool:
+    """Inference-time BN folding into the conv kernels' fused epilogue
+    (default ON; FCAF3D_FOLD_BN=0 reverts to separate BN/activation passes,
+    e.g. for A/B or numerics triage). Training always uses separate BN."""
+    import os
+
+    return os.environ.get("FCAF3D_FOLD_BN", "1") != "0"
+
+
 def sparse_relu(st: SparseTensor) -> SparseTensor:
     return st.with_feats(jnp.maximum(st.feats, 0.0))
 
@@ -221,25 +248,52 @@ class SparseBasicBlock(nn.Module):
     ) -> SparseTensor:
         """`plans` is an optional (plan_conv1, plan_conv2, plan_downsample)
         triple of precomputed `conv_plan`s (see me_resnet stage sharing)."""
-        p1, p2, pds = plans if plans is not None else (None, None, None)
-        residual = st
-        out = SparseConv(
-            self.planes, 3, stride=self.stride, out_budget=self.out_budget, name="conv1"
-        )(st, plan=p1)
-        out = SparseBatchNorm(name="norm1")(out, train)
-        out = sparse_relu(out)
-        out = SparseConv(self.planes, 3, name="conv2")(out, plan=p2)
-        out = SparseBatchNorm(name="norm2")(out, train)
+        from ..ops.sparse.conv import ConvEpilogue
 
-        if self.stride != 1 or st.num_channels != self.planes:
-            residual = SparseConv(
-                self.planes,
-                1,
-                stride=self.stride,
-                out_budget=self.out_budget,
-                name="downsample_conv",
-            )(st, plan=pds)
-            residual = SparseBatchNorm(name="downsample_norm")(residual, train)
+        p1, p2, pds = plans if plans is not None else (None, None, None)
+        conv1 = SparseConv(
+            self.planes, 3, stride=self.stride, out_budget=self.out_budget,
+            name="conv1",
+        )
+        bn1 = SparseBatchNorm(name="norm1")
+        conv2 = SparseConv(self.planes, 3, name="conv2")
+        bn2 = SparseBatchNorm(name="norm2")
+        has_ds = self.stride != 1 or st.num_channels != self.planes
+        if has_ds:
+            conv_ds = SparseConv(
+                self.planes, 1, stride=self.stride,
+                out_budget=self.out_budget, name="downsample_conv",
+            )
+            bn_ds = SparseBatchNorm(name="downsample_norm")
+
+        if not train and fold_bn_inference():
+            # inference: BN affines + activations (+ the residual add) run
+            # in the conv kernels' fused epilogue — zero separate
+            # elementwise HBM passes for the whole block
+            inv1, sh1 = bn1(None, features=self.planes)
+            inv2, sh2 = bn2(None, features=self.planes)
+            out = conv1(st, plan=p1, epilogue=ConvEpilogue(inv1, sh1, "relu"))
+            if has_ds:
+                invd, shd = bn_ds(None, features=self.planes)
+                residual = conv_ds(
+                    st, plan=pds, epilogue=ConvEpilogue(invd, shd, None))
+            else:
+                residual = st
+            return conv2(
+                out, plan=p2,
+                epilogue=ConvEpilogue(inv2, sh2, "relu", add=residual.feats),
+            )
+
+        residual = st
+        out = conv1(st, plan=p1)
+        out = bn1(out, train)
+        out = sparse_relu(out)
+        out = conv2(out, plan=p2)
+        out = bn2(out, train)
+
+        if has_ds:
+            residual = conv_ds(st, plan=pds)
+            residual = bn_ds(residual, train)
 
         # strided main/skip paths produce the identical (sorted) coord map
         out = out.with_feats(out.feats + residual.feats)
@@ -265,27 +319,56 @@ class SparseBottleneck(nn.Module):
     ) -> SparseTensor:
         """`plans` = (plan_conv2, _, plan_downsample); conv1/conv3 are k1
         on unchanged maps and need no plan."""
+        from ..ops.sparse.conv import ConvEpilogue
+
         p2, _, pds = plans if plans is not None else (None, None, None)
         out_ch = self.planes * self.expansion
-        residual = st
-        out = SparseConv(self.planes, 1, name="conv1")(st)
-        out = SparseBatchNorm(name="norm1")(out, train)
-        out = sparse_relu(out)
-        out = SparseConv(
+        conv1 = SparseConv(self.planes, 1, name="conv1")
+        bn1 = SparseBatchNorm(name="norm1")
+        conv2 = SparseConv(
             self.planes, 3, stride=self.stride, out_budget=self.out_budget,
             name="conv2",
-        )(out, plan=p2)
-        out = SparseBatchNorm(name="norm2")(out, train)
-        out = sparse_relu(out)
-        out = SparseConv(out_ch, 1, name="conv3")(out)
-        out = SparseBatchNorm(name="norm3")(out, train)
-
-        if self.stride != 1 or st.num_channels != out_ch:
-            residual = SparseConv(
+        )
+        bn2 = SparseBatchNorm(name="norm2")
+        conv3 = SparseConv(out_ch, 1, name="conv3")
+        bn3 = SparseBatchNorm(name="norm3")
+        has_ds = self.stride != 1 or st.num_channels != out_ch
+        if has_ds:
+            conv_ds = SparseConv(
                 out_ch, 1, stride=self.stride, out_budget=self.out_budget,
                 name="downsample_conv",
-            )(st, plan=pds)
-            residual = SparseBatchNorm(name="downsample_norm")(residual, train)
+            )
+            bn_ds = SparseBatchNorm(name="downsample_norm")
+
+        if not train and fold_bn_inference():
+            inv1, sh1 = bn1(None, features=self.planes)
+            inv2, sh2 = bn2(None, features=self.planes)
+            inv3, sh3 = bn3(None, features=out_ch)
+            out = conv1(st, epilogue=ConvEpilogue(inv1, sh1, "relu"))
+            out = conv2(out, plan=p2, epilogue=ConvEpilogue(inv2, sh2, "relu"))
+            if has_ds:
+                invd, shd = bn_ds(None, features=out_ch)
+                residual = conv_ds(
+                    st, plan=pds, epilogue=ConvEpilogue(invd, shd, None))
+            else:
+                residual = st
+            return conv3(
+                out, epilogue=ConvEpilogue(inv3, sh3, "relu",
+                                           add=residual.feats))
+
+        residual = st
+        out = conv1(st)
+        out = bn1(out, train)
+        out = sparse_relu(out)
+        out = conv2(out, plan=p2)
+        out = bn2(out, train)
+        out = sparse_relu(out)
+        out = conv3(out)
+        out = bn3(out, train)
+
+        if has_ds:
+            residual = conv_ds(st, plan=pds)
+            residual = bn_ds(residual, train)
 
         out = out.with_feats(out.feats + residual.feats)
         return sparse_relu(out)

@@ -45,6 +45,7 @@ from .blocks import (
     SparseConv,
     SparseGenConv3,
     SparseGenerativeTranspose,
+    fold_bn_inference,
     maybe_remat,
     sparse_elu,
 )
@@ -125,10 +126,16 @@ class Fcaf3DNeckWithHead(nn.Module):
 
     def _out_block(self, i):
         def apply(x, plan, train):
-            x = SparseConv(self.out_channels, 3, name=f"out_block_{i}_conv")(
-                x, plan=plan
-            )
-            x = SparseBatchNorm(name=f"out_block_{i}_bn")(x, train)
+            from ..ops.sparse.conv import ConvEpilogue
+
+            conv = SparseConv(self.out_channels, 3, name=f"out_block_{i}_conv")
+            bn = SparseBatchNorm(name=f"out_block_{i}_bn")
+            if not train and fold_bn_inference():
+                inv, sh = bn(None, features=self.out_channels)
+                return conv(x, plan=plan,
+                            epilogue=ConvEpilogue(inv, sh, "elu"))
+            x = conv(x, plan=plan)
+            x = bn(x, train)
             return sparse_elu(x)
 
         return apply
@@ -183,10 +190,17 @@ class Fcaf3DNeckWithHead(nn.Module):
         plan = (x.coords, x.keys, kmap, None)
 
         def up_rest(mdl, x, plan, train):
+            from ..ops.sparse.conv import ConvEpilogue
+
             x = SparseBatchNorm(name=f"up_block_{i + 1}_bn1")(x, train)
             x = sparse_elu(x)
-            x = SparseConv(out_ch, 3, name=f"up_block_{i + 1}_conv")(x, plan=plan)
-            x = SparseBatchNorm(name=f"up_block_{i + 1}_bn2")(x, train)
+            conv = SparseConv(out_ch, 3, name=f"up_block_{i + 1}_conv")
+            bn2 = SparseBatchNorm(name=f"up_block_{i + 1}_bn2")
+            if not train and fold_bn_inference():
+                inv, sh = bn2(None, features=out_ch)
+                return conv(x, plan=plan, epilogue=ConvEpilogue(inv, sh, "elu"))
+            x = conv(x, plan=plan)
+            x = bn2(x, train)
             return sparse_elu(x)
 
         x = maybe_remat(up_rest, static_argnums=(3,))(self, x, plan, train)

@@ -413,6 +413,23 @@ def conv_plan(
     return out_coords, out_keys, idx, dropped
 
 
+class ConvEpilogue:
+    """Folded-BN affine + activation (+ residual) fused into the conv's
+    output write — INFERENCE ONLY (no VJP covers the epilogue; model code
+    gates on `train`). `scale`/`shift` are per-output-channel f32 from
+    `SparseBatchNorm` running stats; `act` in {None, 'relu', 'elu'}; `add`
+    is an optional [B, M, Cout] residual (added after the affine, before
+    the activation, matching `relu(bn(conv(x)) + residual)`)."""
+
+    __slots__ = ("scale", "shift", "act", "add")
+
+    def __init__(self, scale, shift, act=None, add=None):
+        self.scale = scale
+        self.shift = shift
+        self.act = act
+        self.add = add
+
+
 def sparse_conv(
     st: SparseTensor,
     weight: jnp.ndarray,
@@ -422,6 +439,7 @@ def sparse_conv(
     out_budget: Optional[int] = None,
     n_chunks: int = 3,
     plan=None,
+    epilogue: Optional[ConvEpilogue] = None,
 ) -> SparseTensor:
     """Sparse convolution (ME `MinkowskiConvolution` semantics).
 
@@ -434,13 +452,27 @@ def sparse_conv(
             stride > 1); defaults to the input capacity.
         plan: optional precomputed `conv_plan` output (must match
             kernel_size/stride/budget).
+        epilogue: optional fused BN-affine/activation/residual applied in
+            the conv kernel's output write (inference only; see
+            `ConvEpilogue`). Mutually exclusive with `bias` (fold a conv
+            bias into `shift` as `shift + bias * scale`).
     """
     new_stride = st.stride * stride
+    if epilogue is not None:
+        assert bias is None, "fold conv bias into epilogue.shift"
     if kernel_size == 1 and stride == 1:
         out_coords, out_keys, dropped = st.coords, st.keys, st.dropped
         out = jnp.einsum(
             "bnc,cd->bnd", st.feats, weight[0], preferred_element_type=st.feats.dtype
         )
+        if epilogue is not None:
+            from .gather_kernel import apply_epilogue
+
+            # XLA fuses this chain into the einsum's consumer pass
+            out = apply_epilogue(
+                out, epilogue.scale, epilogue.shift, epilogue.act,
+                vmask=(out_keys != SENTINEL), add=epilogue.add,
+            )
     else:
         if plan is not None:
             out_coords, out_keys, idx, dropped = plan
@@ -448,16 +480,24 @@ def sparse_conv(
             out_coords, out_keys, idx, dropped = conv_plan(
                 st, kernel_size, stride, out_budget
             )
-        out = gather_gemm(
-            st.feats, idx, weight, n_chunks, st.is_sorted,
-            # stride-1 odd-kernel convs run on their own coordinate map,
-            # whose offset set is closed under negation -> scatter-free
-            # inverse in the backward
-            stride == 1 and kernel_size % 2 == 1,
-        )
-    if bias is not None:
-        out = out + bias
-    out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
+        if epilogue is not None:
+            out = gather_gemm_inference(
+                st.feats, idx, weight, st.is_sorted,
+                scale=epilogue.scale, shift=epilogue.shift, act=epilogue.act,
+                vmask=out_keys != SENTINEL, add=epilogue.add,
+            )
+        else:
+            out = gather_gemm(
+                st.feats, idx, weight, n_chunks, st.is_sorted,
+                # stride-1 odd-kernel convs run on their own coordinate map,
+                # whose offset set is closed under negation -> scatter-free
+                # inverse in the backward
+                stride == 1 and kernel_size % 2 == 1,
+            )
+    if epilogue is None:
+        if bias is not None:
+            out = out + bias
+        out = jnp.where((out_keys != SENTINEL)[..., None], out, 0.0)
     return SparseTensor(
         coords=out_coords,
         feats=out,
@@ -467,6 +507,24 @@ def sparse_conv(
         is_sorted=st.is_sorted if stride == 1 else True,
         dropped=dropped,
     )
+
+
+def gather_gemm_inference(feats, idx, weight, sorted_map=True, *, scale,
+                          shift, act=None, vmask=None, add=None):
+    """Inference-only gather-GEMM with the fused epilogue (no custom VJP —
+    differentiating through this raises in JAX since the Pallas call has no
+    registered transpose; training paths use `gather_gemm` + separate BN)."""
+    if sorted_map and _use_fused_conv():
+        from .gather_kernel import fused_gather_gemm
+
+        return fused_gather_gemm(
+            feats, idx, weight, scale=scale, shift=shift, act=act,
+            vmask=vmask, add=add,
+        )
+    from .gather_kernel import apply_epilogue
+
+    out = _gather_gemm_fwd_impl(feats, idx, weight, 3, sorted_map)
+    return apply_epilogue(out, scale, shift, act, vmask=vmask, add=add)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

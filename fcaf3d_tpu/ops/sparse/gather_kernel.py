@@ -71,13 +71,38 @@ def _tuned_params(c, e, k, m):
     return tuple(hit) if hit else (T_ROWS, W_SUB, W_BIG)
 
 
-def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
+def _apply_act(x, act):
+    """Static activation for the kernel epilogue (f32 in/out). ELU uses
+    exp(x)-1 instead of expm1 (unlowerable in Mosaic); the argument is
+    clamped <= 0 on the taken branch so there is no overflow and the
+    worst-case ULP error vs expm1 is ~1e-7 absolute."""
+    if act == "relu":
+        return jnp.maximum(x, 0.0)
+    if act == "elu":
+        return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+    assert act is None, act
+    return x
+
+
+def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1,
+                 act=None, has_affine: bool = False, has_add: bool = False):
     w_step = w_sub - 8  # piece advance (8-row alignment slack)
 
-    def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, w_ref, out_ref,
-                big, small, sem):
+    def _kernel(wlo_ref, lo_ref, hi_ref, feats_hbm, idx_ref, w_ref, *rest):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
+
+        # rest = [affine?, vmask?, add?] + [out_ref, big, small, sem]
+        ri = 0
+        affine_ref = vmask_ref = add_ref = None
+        if has_affine:
+            affine_ref = rest[ri]
+            vmask_ref = rest[ri + 1]
+            ri += 2
+        if has_add:
+            add_ref = rest[ri]
+            ri += 1
+        out_ref, big, small, sem = rest[ri:ri + 4]
 
         b = pl.program_id(0)
         t = pl.program_id(1)
@@ -86,6 +111,19 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
         c = small.shape[1]
         e = w_ref.shape[2]
         n_rows = feats_hbm.shape[1]
+
+        def finish(acc):
+            """Inference epilogue: folded-BN affine (+residual) + activation,
+            masked to valid rows — replaces the separate XLA elementwise
+            pass (one full HBM read+write of the conv output per layer)."""
+            if has_affine:
+                acc = acc * affine_ref[0][None, :] + affine_ref[1][None, :]
+            if has_add:
+                acc = acc + add_ref[0].astype(jnp.float32)
+            acc = _apply_act(acc, act)
+            if has_affine:
+                acc = acc * vmask_ref[0].reshape(t_rows, 1)
+            return acc
 
         col_sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, w_sub), 1)
 
@@ -118,7 +156,11 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
 
         @pl.when(jnp.logical_not(live(t)))
         def _():
-            out_ref[0, :, :] = jnp.zeros((t_rows, e), out_ref.dtype)
+            # dead tiles (no kernel-map hits) still run the epilogue: a
+            # valid all-miss row's folded-BN output is `shift`, not zero
+            out_ref[0, :, :] = finish(
+                jnp.zeros((t_rows, e), jnp.float32)
+            ).astype(out_ref.dtype)
 
         win_lo = big_start(t)
 
@@ -221,7 +263,7 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
                 out_acc = jax.lax.fori_loop(
                     0, k, offset_body, jnp.zeros((t_rows, e), jnp.float32)
                 )
-                out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+                out_ref[0, :, :] = finish(out_acc).astype(out_ref.dtype)
             return
 
         # grouped path: cubic-kernel offsets come in (dx, dy) groups of
@@ -306,16 +348,17 @@ def _make_kernel(t_rows: int, w_sub: int, w_big: int, g_size: int = 1):
             out_acc = jax.lax.fori_loop(
                 0, k // g_size, group_body, jnp.zeros((t_rows, e), jnp.float32)
             )
-            out_ref[0, :, :] = out_acc.astype(out_ref.dtype)
+            out_ref[0, :, :] = finish(out_acc).astype(out_ref.dtype)
 
     return _kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big", "g_size")
-)
+    jax.jit, static_argnames=("interpret", "t_rows", "w_sub", "w_big",
+                              "g_size", "act"))
 def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
-                  t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG, g_size=1):
+                  t_rows=T_ROWS, w_sub=W_SUB, w_big=W_BIG, g_size=1,
+                  act=None, affine=None, vmask=None, add=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -323,20 +366,37 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
     c = feats_pad.shape[-1]
     e = weight.shape[-1]
     n_tiles = m // t_rows
+    has_affine = affine is not None
+    has_add = add is not None
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+        pl.BlockSpec(
+            (1, k, t_rows), lambda bb, tt, *_: (bb, 0, tt),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (k, c, e), lambda bb, tt, *_: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    extra = []
+    if has_affine:
+        in_specs.append(pl.BlockSpec(
+            (2, e), lambda bb, tt, *_: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, t_rows), lambda bb, tt, *_: (bb, tt),
+            memory_space=pltpu.VMEM))
+        extra += [affine, vmask]
+    if has_add:
+        in_specs.append(pl.BlockSpec(
+            (1, t_rows, e), lambda bb, tt, *_: (bb, tt, 0),
+            memory_space=pltpu.VMEM))
+        extra.append(add)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
-            pl.BlockSpec(
-                (1, k, t_rows), lambda bb, tt, *_: (bb, 0, tt),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (k, c, e), lambda bb, tt, *_: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, t_rows, e), lambda bb, tt, *_: (bb, tt, 0),
             memory_space=pltpu.VMEM,
@@ -348,25 +408,47 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
         ],
     )
     return pl.pallas_call(
-        _make_kernel(t_rows, w_sub, w_big, g_size),
+        _make_kernel(t_rows, w_sub, w_big, g_size,
+                     act=act, has_affine=has_affine, has_add=has_add),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, m, e), feats_pad.dtype),
         interpret=interpret,
-    )(wlo.reshape(-1), lo.reshape(-1), hi.reshape(-1), feats_pad, idx, weight)
+    )(wlo.reshape(-1), lo.reshape(-1), hi.reshape(-1), feats_pad, idx, weight,
+      *extra)
+
+
+def apply_epilogue(out, scale, shift, act, vmask=None, add=None):
+    """XLA-side epilogue (fallbacks + paths the kernel can't fuse):
+    `act(out * scale + shift [+ add]) [* vmask]` in f32, cast back."""
+    y = out.astype(jnp.float32) * scale + shift
+    if add is not None:
+        y = y + add.astype(jnp.float32)
+    y = _apply_act(y, act)
+    if vmask is not None:
+        y = y * vmask[..., None].astype(jnp.float32)
+    return y.astype(out.dtype)
 
 
 def fused_gather_gemm(feats, idx, weight, interpret=None,
-                      t_rows=None, w_sub=None, w_big=None):
+                      t_rows=None, w_sub=None, w_big=None,
+                      scale=None, shift=None, act=None, vmask=None, add=None):
     """out[b, m] = sum_k feats[b, idx[b, m, k]] @ weight[k]; miss rows
     (idx == N) contribute zero. Drop-in forward for `gather_gemm`.
 
     Args:
         feats: [B, N, C]; idx: [B, M, K] int32 in [0, N]; weight: [K, C, E].
         t_rows/w_sub/w_big: tile/window overrides (see module docstring).
+        scale/shift: optional folded-BN affine [E] (f32) applied in the
+            kernel's output write (inference only — no VJP covers them).
+        act: None | 'relu' | 'elu' epilogue activation.
+        vmask: [B, M] row-validity multiplier (required with scale): padding
+            rows get zero, mirroring the masked-BN semantics.
+        add: optional [B, M, E] residual added after the affine, before act.
     """
     b, n, c = feats.shape
     _, m, k = idx.shape
     e = weight.shape[-1]
+    has_epi = scale is not None
     if t_rows is None and w_sub is None and w_big is None:
         t_rows, w_sub, w_big = _tuned_params(c, e, k, m)
     t_rows = t_rows or T_ROWS
@@ -378,12 +460,17 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     if not use_pallas:
         from .conv import _gather_gemm_fwd_impl
 
-        return _gather_gemm_fwd_impl(feats, idx, weight, 3)
+        out = _gather_gemm_fwd_impl(feats, idx, weight, 3)
+        if has_epi:
+            out = apply_epilogue(out, scale, shift, act, vmask, add)
+        return out
 
     # scoped-VMEM budget (16MB): the [K, C, E] weight block and the double-
     # buffered window must both fit. Wide channels shrink the window; huge
     # weights split the offsets and sum (each half re-streams its windows,
-    # which is cheap on the small deep-level maps where C is large).
+    # which is cheap on the small deep-level maps where C is large). The
+    # epilogue is NOT distributive over the halves, so it runs in XLA here
+    # (the split only triggers on the small deep-level maps).
     if c >= 384:
         w_big = min(w_big, 2048)
     wbytes = k * max(c, 128) * e * weight.dtype.itemsize
@@ -391,13 +478,16 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
         half = k // 2
         if k % 3 == 0:  # keep z-triples intact for the grouped select path
             half = max(3, (half // 3) * 3)
-        return fused_gather_gemm(
+        out = fused_gather_gemm(
             feats, idx[..., :half], weight[:half], interpret=interpret,
             t_rows=t_rows, w_sub=w_sub, w_big=w_big,
         ) + fused_gather_gemm(
             feats, idx[..., half:], weight[half:], interpret=interpret,
             t_rows=t_rows, w_sub=w_sub, w_big=w_big,
         )
+        if has_epi:
+            out = apply_epilogue(out, scale, shift, act, vmask, add)
+        return out
 
     # trace-time FLOP accounting (utils/flops.py): XLA sees this op as a
     # 0-flop custom call, so record the dense-equivalent GEMM work (model)
@@ -447,6 +537,18 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
     if os.environ.get("FCAF3D_SKIP_DEAD_TILES", "1") != "0":
         wlo = jnp.where(jnp.any(hi > lo, axis=2), wlo, -1)
 
+    affine = vmask_p = add_p = None
+    if has_epi:
+        affine = jnp.stack(
+            [scale.astype(jnp.float32), shift.astype(jnp.float32)], axis=0)
+        vmask_p = vmask.astype(jnp.float32)
+        if pad_m:
+            vmask_p = jnp.pad(vmask_p, ((0, 0), (0, pad_m)))
+        if add is not None:
+            add_p = add.astype(feats.dtype)
+            if pad_m:
+                add_p = jnp.pad(add_p, ((0, 0), (0, pad_m), (0, 0)))
+
     # offset-major [B, K, M]: the kernel's per-offset read is a leading-dim
     # dynamic index (lane-dim dynamic indexing is not allowed)
     idx_t = jnp.swapaxes(idx_p, 1, 2)
@@ -454,6 +556,7 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
         feats_pad, idx_t, weight, wlo, lo, hi, interpret=bool(interpret),
         t_rows=t_rows, w_sub=w_sub, w_big=w_big,
         g_size=3 if k % 3 == 0 else 1,
+        act=act if has_epi else None, affine=affine, vmask=vmask_p, add=add_p,
     )
     return out[:, :m]
 
