@@ -205,7 +205,17 @@ def build_kernel_map_self(
     in/out map `idx_{+d}[m] = j  <=>  idx_{-d}[j] = m`, so only 13 of the
     27 offsets need binary searches — the mirrors are int32 scatter
     inversions and the center offset is the identity.
+
+    FCAF3D_SELF_MAP=search switches to a plain 27-offset search (36
+    z-difference counting streams vs the half-map's 18): twice the search
+    work but ZERO scatters — the 13 per-map scatter inversions serialize
+    row-by-row on TPU (~10 ns/row) and dominate the half-map's cost at
+    large maps (A/B measured; see docs/kernel_experiments.md).
     """
+    import os
+
+    if os.environ.get("FCAF3D_SELF_MAP", "search") == "search":
+        return build_kernel_map(keys, coords, kernel_offsets(3, stride))
     b, n = keys.shape
     offs = kernel_offsets(3, stride)  # product order: offs[26 - k] == -offs[k]
     idx_half = build_kernel_map(keys, coords, offs[:13])  # [B, N, 13]
@@ -755,6 +765,8 @@ def sparse_prune(st: SparseTensor, scores: jnp.ndarray, budget: int) -> SparseTe
     `budget >= num_valid` this only compacts (keeps everything), matching the
     reference's behavior when voxel counts are under `pts_threshold`.
     """
+    from .tensor import compact_positions, decode_coords, take_rows
+
     b, n = st.keys.shape
     s = jnp.where(st.valid, scores.reshape(b, n), -jnp.inf)
     k = min(budget, n)
@@ -768,21 +780,13 @@ def sparse_prune(st: SparseTensor, scores: jnp.ndarray, budget: int) -> SparseTe
     )
     keep = (rank < k) & st.valid
 
-    pos = jnp.cumsum(keep, axis=1) - 1
-    pos = jnp.where(keep, pos, budget)
-    out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
-    out_coords = batched_scatter_set(out_coords, pos, st.coords)
-    out_keys = jnp.full((b, budget + 1), SENTINEL, st.keys.dtype)
-    out_keys = batched_scatter_set(out_keys, pos, jnp.where(keep, st.keys, SENTINEL))
-    c = st.feats.shape[-1]
-    out_feats = jnp.zeros((b, budget + 1, c), st.feats.dtype)
-    out_feats = batched_scatter_set(
-        out_feats, pos, jnp.where(keep[..., None], st.feats, 0.0)
-    )
+    sel, _ = compact_positions(keep, budget)
+    out_keys = take_rows(jnp.where(keep, st.keys, SENTINEL), sel, fill=SENTINEL)
+    out_feats = take_rows(st.feats, sel)
     return SparseTensor(
-        coords=out_coords[:, :budget],
-        feats=out_feats[:, :budget],
-        keys=out_keys[:, :budget],
+        coords=decode_coords(out_keys),
+        feats=out_feats,
+        keys=out_keys,
         shift=st.shift,
         stride=st.stride,
     )

@@ -144,25 +144,30 @@ def compact_select(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
     """Compact kept rows (order-preserving) into `budget` rows.
 
+    Gather-side formulation (see `tensor.compact_positions`): one
+    searchsorted finds each output slot's source row; only `budget` rows
+    are gathered (the old N-row scatters were the dominant fusion cost of
+    the inference trace).
+
     Returns (coords, keys, feats, old2new) where old2new [B, N] maps source
     rows to compacted rows (budget = dropped/not-kept)."""
+    from .tensor import compact_positions, take_rows
+
     b, n = keys.shape
-    pos = jnp.cumsum(keep, axis=1) - 1
-    ok = keep & (pos < budget)
-    pos = jnp.where(ok, pos, budget)
-    out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
-    out_coords = batched_scatter_set(out_coords, pos, coords)
-    out_keys = jnp.full((b, budget + 1), SENTINEL, keys.dtype)
-    out_keys = batched_scatter_set(out_keys, pos, jnp.where(ok, keys, SENTINEL))
+    from .tensor import decode_coords
+
+    sel, _ = compact_positions(keep, budget)
+    out_keys = take_rows(jnp.where(keep, keys, SENTINEL), sel, fill=SENTINEL)
+    # callers (gen_children) maintain coords == decode(keys): kept rows have
+    # in-range keys, padding decodes to EXTENT — no coords gather needed
+    out_coords = decode_coords(out_keys)
+    del coords
     out_feats = None
     if feats is not None:
-        c = feats.shape[-1]
-        out_feats = jnp.zeros((b, budget + 1, c), feats.dtype)
-        out_feats = batched_scatter_set(
-            out_feats, pos, jnp.where(ok[..., None], feats, 0.0)
-        )
-        out_feats = out_feats[:, :budget]
-    return out_coords[:, :budget], out_keys[:, :budget], out_feats, pos
+        out_feats = take_rows(feats, sel)
+    pos = jnp.cumsum(keep, axis=1) - 1
+    pos = jnp.where(keep & (pos < budget), pos, budget)
+    return out_coords, out_keys, out_feats, pos
 
 
 def sort_tensor(st: SparseTensor) -> SparseTensor:

@@ -151,12 +151,54 @@ def sort_rows(coords: jnp.ndarray, feats: Optional[jnp.ndarray], keys: jnp.ndarr
     return coords, feats, skeys
 
 
+def compact_positions(mask: jnp.ndarray, budget: int):
+    """Source row of the j-th set bit of `mask`, for j < budget.
+
+    The gather-side inverse of cumsum-position compaction: instead of
+    scattering N source rows to their compacted slots (row scatters
+    serialize at ~10 ns/row on TPU — the largest fusion bucket of the r5
+    inference trace), ONE searchsorted over the running count gives every
+    output slot its source row, and callers GATHER `budget` rows (~4x
+    cheaper than the scatter at typical N/budget, measured on v5e).
+
+    Returns:
+        (sel [B, budget] int32 monotone, N where the j-th set bit does not
+        exist; total [B] int32 set-bit count).
+    """
+    from .search import searchsorted_segments
+
+    b, n = mask.shape
+    csum = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    total = csum[:, -1]
+    q = jnp.broadcast_to(
+        jnp.arange(1, budget + 1, dtype=jnp.uint32)[None, :, None],
+        (b, budget, 1),
+    )
+    # first i with csum[i] >= j+1  ==  searchsorted(csum, j+1, 'left')
+    sel = searchsorted_segments(
+        csum.astype(jnp.uint32), q, with_miss=False, layout="ms"
+    ).reshape(b, budget)
+    return jnp.minimum(sel, n).astype(jnp.int32), total
+
+
+def take_rows(values: jnp.ndarray, sel: jnp.ndarray, fill=0):
+    """values[b, sel[b, j]] with sel == N returning `fill`."""
+    b, n = values.shape[:2]
+    pad = jnp.full((b, 1) + values.shape[2:], fill, values.dtype)
+    vpad = jnp.concatenate([values, pad], axis=1)
+    idx = sel[(...,) + (None,) * (values.ndim - 2)]
+    return jnp.take_along_axis(vpad, idx, axis=1)
+
+
 def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
     """Deduplicate sorted (coords, keys) to the first occurrence per key and
     compact into a `budget`-row array (overflow rows are dropped).
 
     Args:
-        coords: [B, N, 3] sorted by keys.
+        coords: [B, N, 3] sorted by keys, satisfying the module invariant
+            `coords == decode_coords(keys)` (all callers build coords via
+            `encode_coords` + EXTENT padding); output coords are decoded
+            from the compacted keys rather than gathered.
         keys: [B, N] ascending.
         budget: output rows per sample.
 
@@ -169,24 +211,10 @@ def compact_unique(coords: jnp.ndarray, keys: jnp.ndarray, budget: int):
     b, n = keys.shape
     prev = jnp.concatenate([jnp.full((b, 1), SENTINEL, keys.dtype), keys[:, :-1]], axis=1)
     first = (keys != prev) & (keys != SENTINEL)
-    pos = jnp.cumsum(first, axis=1) - 1  # target row (valid where first)
-    ok = first & (pos < budget)
-    dropped = jnp.sum(first & (pos >= budget), axis=1, dtype=jnp.int32)
-    pos = jnp.where(ok, pos, budget)  # dump overflow/non-first into slot `budget`
-
-    out_coords = jnp.full((b, budget + 1, 3), jnp.asarray(EXTENT, jnp.int32), jnp.int32)
-    out_coords = batched_scatter_set(out_coords, pos, coords)
-    out_keys = jnp.full((b, budget + 1), SENTINEL, keys.dtype)
-    out_keys = batched_scatter_set(out_keys, pos, jnp.where(ok, keys, SENTINEL))
-    src = jnp.full((b, budget + 1), n, jnp.int32)
-    src = batched_scatter_set(
-        src,
-        pos,
-        jnp.broadcast_to(
-            jnp.where(ok, jnp.arange(n, dtype=jnp.int32)[None, :], n), (b, n)
-        ),
-    )
-    return out_coords[:, :budget], out_keys[:, :budget], src[:, :budget], dropped
+    sel, total = compact_positions(first, budget)  # sel == src_idx
+    dropped = jnp.maximum(total - budget, 0).astype(jnp.int32)
+    out_keys = take_rows(keys, sel, fill=SENTINEL)
+    return decode_coords(out_keys), out_keys, sel, dropped
 
 
 def lookup(
