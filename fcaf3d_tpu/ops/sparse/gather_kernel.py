@@ -384,7 +384,7 @@ def _fused_pallas(feats_pad, idx, weight, wlo, lo, hi, interpret=False,
         in_specs.append(pl.BlockSpec(
             (2, e), lambda bb, tt, *_: (0, 0), memory_space=pltpu.VMEM))
         in_specs.append(pl.BlockSpec(
-            (1, t_rows), lambda bb, tt, *_: (bb, tt),
+            (1, t_rows, 1), lambda bb, tt, *_: (bb, tt, 0),
             memory_space=pltpu.VMEM))
         extra += [affine, vmask]
     if has_add:
@@ -544,6 +544,9 @@ def fused_gather_gemm(feats, idx, weight, interpret=None,
         vmask_p = vmask.astype(jnp.float32)
         if pad_m:
             vmask_p = jnp.pad(vmask_p, ((0, 0), (0, pad_m)))
+        # [B, M, 1]: a trailing unit dim keeps the block shape legal for any
+        # batch (a 2-D (1, t_rows) block violates Mosaic's 8x128 rule at B>1)
+        vmask_p = vmask_p[..., None]
         if add is not None:
             add_p = add.astype(feats.dtype)
             if pad_m:
